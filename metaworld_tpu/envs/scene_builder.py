@@ -1,0 +1,124 @@
+"""Declarative scene construction — the MJCF-compiler equivalent.
+
+The reference compiles 38 MJCF scene files through MuJoCo's model compiler at
+env construction (ref sawyer_xyz_env.py:221-229 -> MujocoEnv). Here each task
+declares its scene with these helpers; the result is a `SceneParams` row of
+plain numpy arrays. All 50 rows stack into device-resident tables so a single
+jitted step serves any mix of tasks (gather by task id).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from metaworld_tpu.types import (
+    MAX_JOINT,
+    MAX_OBJ,
+    MAX_STATIC,
+    JointType,
+    ObjType,
+    SceneParams,
+)
+
+
+@dataclasses.dataclass
+class FreeObj:
+    """A dynamic free body (puck, ball, block, tool)."""
+
+    kind: int = ObjType.CYLINDER
+    radius: float = 0.02        # horizontal contact radius
+    half_h: float = 0.02        # COM height above support when resting
+    mass: float = 0.1
+    graspable: bool = True
+    grasp_halfwidth: float = 0.02  # y half-width the pads clamp onto
+
+
+@dataclasses.dataclass
+class FixtureJoint:
+    """A 1-dof articulated fixture (door hinge, drawer slide, button, ...)."""
+
+    kind: int = JointType.SLIDE
+    axis: tuple = (0.0, 0.0, 1.0)      # slide direction / hinge axis
+    anchor: tuple = (0.0, 0.0, 0.0)    # handle rest pos (slide) / pivot (hinge), rel. fixture base
+    arm: tuple = (0.0, 0.0, 0.0)       # hinge: handle offset from pivot at q=0
+    range: tuple = (0.0, 1.0)
+    damping: float = 2.0
+    stiffness: float = 0.0
+    springref: float = 0.0
+    inertia: float = 0.1
+    bias: float = 0.0                  # constant generalized force (gravity)
+    handle_radius: float = 0.02
+    hookable: bool = False             # gripper can close on handle and pull
+
+
+@dataclasses.dataclass
+class StaticBox:
+    pos: tuple = (0.0, 0.0, 0.0)
+    size: tuple = (0.05, 0.05, 0.05)
+    rel_fixture: bool = False          # positioned relative to fixture base
+
+
+def build_scene(
+    objs: list[FreeObj] = (),
+    joints: list[FixtureJoint] = (),
+    boxes: list[StaticBox] = (),
+    hole_center=(0.0, 0.0),
+    hole_halfsize=(0.0, 0.0),
+    pit_depth=0.0,
+    mocap_low=(-0.2, 0.55, 0.05),
+    mocap_high=(0.2, 0.75, 0.3),
+) -> SceneParams:
+    """Assemble a SceneParams row (numpy, unbatched) with padding."""
+    assert len(objs) <= MAX_OBJ and len(joints) <= MAX_JOINT and len(boxes) <= MAX_STATIC
+
+    def pad(rows, n, width=None):
+        rows = list(rows)
+        out = np.zeros((n,) if width is None else (n, width))
+        for i, r in enumerate(rows):
+            out[i] = r
+        return out
+
+    o = list(objs)
+    j = list(joints)
+    b = list(boxes)
+    f = np.float64
+    return SceneParams(
+        obj_exists=pad([1.0] * len(o), MAX_OBJ).astype(f),
+        obj_type=pad([x.kind for x in o], MAX_OBJ).astype(np.int32),
+        obj_radius=pad([x.radius for x in o], MAX_OBJ).astype(f),
+        obj_half_h=pad([x.half_h for x in o], MAX_OBJ).astype(f),
+        obj_mass=pad([x.mass for x in o], MAX_OBJ).astype(f),
+        obj_graspable=pad([float(x.graspable) for x in o], MAX_OBJ).astype(f),
+        obj_grasp_halfwidth=pad([x.grasp_halfwidth for x in o], MAX_OBJ).astype(f),
+        joint_exists=pad([1.0] * len(j), MAX_JOINT).astype(f),
+        joint_type=pad([x.kind for x in j], MAX_JOINT).astype(np.int32),
+        joint_axis=pad([x.axis for x in j], MAX_JOINT, 3).astype(f),
+        joint_anchor=pad([x.anchor for x in j], MAX_JOINT, 3).astype(f),
+        joint_arm=pad([x.arm for x in j], MAX_JOINT, 3).astype(f),
+        joint_range=pad([x.range for x in j], MAX_JOINT, 2).astype(f),
+        joint_damping=pad([x.damping for x in j], MAX_JOINT).astype(f),
+        joint_stiffness=pad([x.stiffness for x in j], MAX_JOINT).astype(f),
+        joint_springref=pad([x.springref for x in j], MAX_JOINT).astype(f),
+        joint_inertia=pad([max(x.inertia, 1e-4) for x in j], MAX_JOINT).astype(f),
+        joint_bias=pad([x.bias for x in j], MAX_JOINT).astype(f),
+        joint_handle_radius=pad([x.handle_radius for x in j], MAX_JOINT).astype(f),
+        joint_hookable=pad([float(x.hookable) for x in j], MAX_JOINT).astype(f),
+        static_exists=pad([1.0] * len(b), MAX_STATIC).astype(f),
+        static_pos=pad([x.pos for x in b], MAX_STATIC, 3).astype(f),
+        static_size=pad([x.size for x in b], MAX_STATIC, 3).astype(f),
+        static_rel=pad([float(x.rel_fixture) for x in b], MAX_STATIC).astype(f),
+        hole_center=np.asarray(hole_center, dtype=f),
+        hole_halfsize=np.asarray(hole_halfsize, dtype=f),
+        pit_depth=np.asarray(pit_depth, dtype=f),
+        mocap_low=np.asarray(mocap_low, dtype=f),
+        mocap_high=np.asarray(mocap_high, dtype=f),
+    )
+
+
+def stack_scenes(scenes: list[SceneParams]) -> SceneParams:
+    """Stack per-task rows into (n_tasks, ...) tables for device residency."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *scenes)

@@ -1,0 +1,87 @@
+"""reach-v3: move the tcp to a target point.
+
+Behavioral contract from ref metaworld/envs/sawyer_reach_v3.py:
+  * rand space: obj (x,y,0.02) in [-0.1,0.1]x[0.6,0.7], goal in
+    [-0.1,0.1]x[0.8,0.9]x[0.05,0.3] (:40-45)
+  * reset resamples until |obj_xy - goal_xy| >= 0.15 (:127-129)
+  * v2 reward = 10 * tolerance(|tcp-target|, (0, 0.05),
+    margin=|hand_init-target|, long_tail); success = dist <= 0.05 (:86,140-162)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from metaworld_tpu.envs import registry
+from metaworld_tpu.envs.core import TaskSpec
+from metaworld_tpu.envs.scene_builder import FreeObj, build_scene
+from metaworld_tpu.envs.tasks import common
+from metaworld_tpu.rewards import utils as reward_utils
+
+_OBJ_LOW = (-0.1, 0.6, 0.02)
+_OBJ_HIGH = (0.1, 0.7, 0.02)
+_GOAL_LOW = (-0.1, 0.8, 0.05)
+_GOAL_HIGH = (0.1, 0.9, 0.3)
+_HAND_INIT = (0.0, 0.6, 0.2)
+_HAND_LOW = (-0.5, 0.40, 0.05)
+_HAND_HIGH = (0.5, 1.0, 0.5)
+
+
+def _reset(spec: TaskSpec, rand, rng):
+    def good(v):
+        return jnp.linalg.norm(v[:2] - v[3:5]) >= 0.15
+
+    rand = common.sample_until(good, rand, rng, spec.rand_low, spec.rand_high)
+    obj = rand[:3]
+    target = rand[3:6]
+    return dict(
+        obj_pos=common.pad_obj_pos(obj),
+        obj_init_pos=common.pad_obj_pos(obj),
+        target=target,
+    )
+
+
+def _reward(spec: TaskSpec, state, obs, action):
+    tcp = state.sim.hand
+    target = state.target
+    tcp_to_target = jnp.linalg.norm(tcp - target)
+    in_place_margin = jnp.linalg.norm(state.hand_init - target)
+    in_place = reward_utils.tolerance(
+        tcp_to_target,
+        bounds=(0, 0.05),
+        margin=in_place_margin,
+        sigmoid="long_tail",
+    )
+    reward = 10.0 * in_place
+    return common.eval_out(
+        reward=reward,
+        success=(tcp_to_target <= 0.05).astype(jnp.float32),
+        near_object=tcp_to_target,
+        grasp_success=1.0,
+        grasp_reward=tcp_to_target,
+        in_place_reward=in_place,
+        obj_to_target=tcp_to_target,
+    )
+
+
+@registry.register("reach-v3")
+def make_spec(task_id: int) -> TaskSpec:
+    scene = build_scene(
+        objs=[FreeObj(radius=0.02, half_h=0.02, graspable=True, grasp_halfwidth=0.022)],
+        mocap_low=_HAND_LOW,
+        mocap_high=_HAND_HIGH,
+    )
+    return TaskSpec(
+        name="reach-v3",
+        task_id=task_id,
+        scene=scene,
+        rand_low=np.concatenate([_OBJ_LOW, _GOAL_LOW]),
+        rand_high=np.concatenate([_OBJ_HIGH, _GOAL_HIGH]),
+        hand_init_pos=np.asarray(_HAND_INIT),
+        goal_low=np.asarray(_GOAL_LOW),
+        goal_high=np.asarray(_GOAL_HIGH),
+        reset_fn=_reset,
+        reward_fn=_reward,
+        n_obs_obj=1,
+    )

@@ -1,0 +1,450 @@
+"""Batched analytic physics core — the TPU replacement for MuJoCo's mj_step.
+
+The reference steps a native-C Newton solver per env process
+(ref sawyer_xyz_env.py:595 -> mujoco.mj_step x frame_skip). Here the entire
+control step is one pure function `control_step(scene, sim, action)` —
+jit/vmap-able, branchless, with all per-task variation expressed as
+`SceneParams` data gathered by task id. Physics model:
+
+  * Hand: the Sawyer arm is mocap-welded (ref xyz_base.xml equality weld,
+    solref 0.02). The arm never appears in observations or rewards, so the
+    hand is modeled kinematically: the tcp tracks `mocap + TCP_OFFSET` with a
+    first-order lag calibrated against reference trajectories
+    (tau ~= 0.082 s, steady-state offset (0, 0.003, -0.0495)).
+  * Gripper: the two finger slides are integrated exactly from the MJCF spec
+    (position actuators kp=400, damping 1000, armature 100, ranges r:[0,.04],
+    l:[-.03,0]; ref sawyer_reach_v3.xml:23-26, xyz_base.xml:163,178), with a
+    contact clamp against a grasped object's width.
+  * Free objects: semi-implicit Euler + position-projection contacts
+    (ground/pit support, static boxes, hand/pad spheres, object-object) with
+    Coulomb-style friction. Projection is unconditionally stable at the 2.5 ms
+    substep, so no iterative solver is needed on the hot path.
+  * Grasping: when both pads cage the object with positive squeeze, the
+    object is welded to the hand (attach), reproducing MuJoCo's friction-cone
+    grip; pad normal forces are exposed for `touching_object` parity
+    (ref sawyer_xyz_env.py:401-440).
+  * Fixtures: 1-dof hinge/slide mechanisms (door, drawer, button, faucet,
+    window, dial, handle) integrated as generalized coordinates with
+    spring/damper/limits; driven by hand contact (press) or a hook constraint
+    (grab-and-pull), matching the reference's contact-driven fixtures.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from metaworld_tpu.types import (
+    ACTION_SCALE,
+    FRAME_SKIP,
+    GRIPPER_FULL_OPEN,
+    SIM_DT,
+    TABLE_Z,
+    JointType,
+    SceneParams,
+    SimState,
+)
+from metaworld_tpu.physics import maths
+
+# --- calibrated hand-tracking constants (fit on reference reach-v3 traces) ---
+TCP_OFFSET = jnp.array([0.0, 0.003, -0.0495])  # tcp rest offset from mocap
+HAND_TAU = 0.082                               # first-order tracking constant (s)
+# obs hand position = body("hand").xpos sits above the tcp (fingertip sites)
+HAND_BODY_OFFSET = jnp.array([0.0, 0.0, 0.045])
+# pad box centers sit above the fingertip sites (pad long axis is vertical)
+PAD_Z_OFFSET = 0.045
+# claw gap = 0.1 - (q_r - q_l); pad gap = claw gap - 0.006 (pads inset 3mm each)
+PAD_GAP_INSET = 0.006
+
+# gripper finger ODE constants from the MJCF (per finger):
+#   q'' = (kp*(ctrl - q) - damping*q') / (armature + mass)
+_F_KP = 400.0
+_F_DAMP = 1000.0
+_F_MASS = 100.0
+_R_RANGE = (0.0, 0.04)
+_L_RANGE = (-0.03, 0.0)
+
+# contact / interaction constants
+_HAND_SPHERE_R = 0.026   # palm/claw effective radius for pushing
+_FRICTION_DEFAULT = 0.55
+_GRASP_XZ_TOL = 0.035    # max horizontal tcp-to-object distance for a grasp
+_GRASP_Z_SPAN = 0.055    # pads (vertical boxes) can grip within this z span
+_HOOK_RADIUS = 0.045     # tcp-to-handle distance to hook a hookable fixture
+_GRAVITY = 9.81
+
+
+def gripper_gap(sim: SimState) -> jnp.ndarray:
+    """Claw gap in meters from the normalized aperture."""
+    return sim.gripper * GRIPPER_FULL_OPEN
+
+
+def pad_positions(sim: SimState):
+    """World positions of the left/right pad box centers.
+
+    Pads open along y around the tcp (ref xyz_base.xml:159-183)."""
+    gap = gripper_gap(sim) - PAD_GAP_INSET
+    half = gap / 2.0
+    up = jnp.array([0.0, 0.0, PAD_Z_OFFSET])
+    left = sim.hand + up + jnp.array([0.0, 1.0, 0.0]) * half
+    right = sim.hand + up - jnp.array([0.0, 1.0, 0.0]) * half
+    return left, right
+
+
+def obs_hand_pos(sim: SimState) -> jnp.ndarray:
+    """Position reported as obs[0:3] (the "hand" body, ref sawyer_xyz_env.py:67-69)."""
+    return sim.hand + HAND_BODY_OFFSET
+
+
+def aperture_obs(sim: SimState) -> jnp.ndarray:
+    """obs[3]: claw distance / 0.1, clipped (ref sawyer_xyz_env.py:497-498)."""
+    return jnp.clip(sim.gripper, 0.0, 1.0)
+
+
+def _support_z(scene: SceneParams, xy: jnp.ndarray) -> jnp.ndarray:
+    """Ground support height under a point: table top, or the pit floor when
+    inside the table hole (sweep-into / hand-insert / pick-out-of-hole)."""
+    in_hole = jnp.all(jnp.abs(xy - scene.hole_center) < scene.hole_halfsize)
+    has_hole = jnp.any(scene.hole_halfsize > 0.0)
+    return jnp.where(has_hole & in_hole, TABLE_Z - scene.pit_depth, TABLE_Z)
+
+
+def _static_boxes_world(scene: SceneParams, fixture_pos: jnp.ndarray):
+    pos = scene.static_pos + scene.static_rel[:, None] * fixture_pos[None, :]
+    return pos, scene.static_size
+
+
+def _sphere_box_pushout(p, r, box_pos, box_size):
+    """Push a sphere (p, r) out of an AABB. Returns (correction, normal, pen)."""
+    d = p - box_pos
+    clamped = jnp.clip(d, -box_size, box_size)
+    closest = box_pos + clamped
+    delta = p - closest
+    dist = jnp.linalg.norm(delta)
+    # outside-face case
+    n_out = delta / jnp.maximum(dist, 1e-9)
+    pen_out = jnp.maximum(r - dist, 0.0)
+    # fully inside the box: push out along the axis of least penetration
+    inside = dist < 1e-9
+    depth = box_size - jnp.abs(d) + r
+    axis = jnp.argmin(depth)
+    n_in = jnp.zeros(3).at[axis].set(jnp.sign(d[axis]) + (d[axis] == 0.0))
+    pen_in = depth[axis]
+    n = jnp.where(inside, n_in, n_out)
+    pen = jnp.where(inside, pen_in, pen_out)
+    return n * pen, n, pen
+
+
+def _resolve_kinematic_contact(pos, vel, kin_pos, kin_vel, r_sum):
+    """Sphere (pos, vel) vs kinematic sphere (hand parts). Position-project the
+    free body out and match normal velocity. Returns (pos, vel, pen)."""
+    delta = pos - kin_pos
+    dist = jnp.linalg.norm(delta)
+    n = delta / jnp.maximum(dist, 1e-9)
+    pen = jnp.maximum(r_sum - dist, 0.0)
+    hit = pen > 0.0
+    pos = pos + n * pen
+    v_rel_n = jnp.dot(vel - kin_vel, n)
+    vel = jnp.where(hit & (v_rel_n < 0.0), vel - n * v_rel_n + n * 0.0, vel)
+    # impart pushing velocity
+    push = jnp.dot(kin_vel, n)
+    vel = jnp.where(hit & (push > jnp.dot(vel, n)), vel + n * (push - jnp.dot(vel, n)), vel)
+    return pos, vel, pen
+
+
+def _gripper_substep(sim: SimState, effort, clamp_gap, dt):
+    """Integrate the two finger slides one substep.
+
+    ctrl = [effort, -effort] position targets (ref sawyer_xyz_env.py:595);
+    `clamp_gap` is the minimum claw gap allowed by a caged object (inf when
+    nothing is grasped). Returns (gripper, gripper_vel, squeeze_force)."""
+    gap = sim.gripper * GRIPPER_FULL_OPEN  # claw gap, open = 0.1
+    # recover symmetric finger coordinates from the gap: q = (0.1 - gap)
+    # split proportional to ranges (r moves up to .04, l up to .03)
+    closed = (GRIPPER_FULL_OPEN - gap) / GRIPPER_FULL_OPEN  # 0 open .. 0.7max/0.1
+    q_r = closed * 0.1 * (0.04 / 0.07)
+    q_l = -closed * 0.1 * (0.03 / 0.07)
+    v = sim.gripper_vel * GRIPPER_FULL_OPEN  # d(gap)/dt
+    v_r = -v * (0.04 / 0.07)
+    v_l = v * (0.03 / 0.07)
+
+    e = jnp.clip(effort, -1.0, 1.0)
+    acc_r = (_F_KP * (e - q_r) - _F_DAMP * v_r) / _F_MASS
+    acc_l = (_F_KP * (-e - q_l) - _F_DAMP * v_l) / _F_MASS
+    v_r = v_r + acc_r * dt
+    v_l = v_l + acc_l * dt
+    q_r_new = jnp.clip(q_r + v_r * dt, *_R_RANGE)
+    q_l_new = jnp.clip(q_l + v_l * dt, *_L_RANGE)
+    v_r = (q_r_new - q_r) / dt
+    v_l = (q_l_new - q_l) / dt
+
+    new_gap = GRIPPER_FULL_OPEN - (q_r_new - q_l_new)
+    # contact clamp against a grasped object: fingers cannot close past it
+    clamped_gap = jnp.maximum(new_gap, clamp_gap)
+    squeeze = jnp.maximum(_F_KP * (e - q_r_new), 0.0) * (clamped_gap > new_gap - 1e-12)
+    squeeze = jnp.where(clamp_gap < GRIPPER_FULL_OPEN, squeeze, 0.0)
+    new_vel = (clamped_gap - gap) / dt / GRIPPER_FULL_OPEN
+    return clamped_gap / GRIPPER_FULL_OPEN, new_vel, squeeze
+
+
+def _grasp_geometry(scene: SceneParams, sim: SimState, obj_pos):
+    """Per-object caging predicate: is the object between the pads, within
+    horizontal and vertical reach of the gripper?"""
+    rel = obj_pos - sim.hand  # (MAX_OBJ, 3)
+    dx = jnp.abs(rel[:, 0])
+    dy = jnp.abs(rel[:, 1])
+    dz = rel[:, 2]
+    gap = gripper_gap(sim)
+    between = dy < gap / 2.0 + 0.01
+    near_x = dx < _GRASP_XZ_TOL
+    near_z = (dz > -0.02) & (dz < _GRASP_Z_SPAN + 0.02)
+    return between & near_x & near_z
+
+
+def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimState:
+    """One 12.5 ms control step: mocap update + FRAME_SKIP physics substeps
+    (ref sawyer_xyz_env.py:579-642 step semantics)."""
+    # --- mocap update (ref set_xyz_action, sawyer_xyz_env.py:320-336) ---
+    a = jnp.clip(action[:3], -1.0, 1.0)
+    mocap = jnp.clip(sim.mocap + a * ACTION_SCALE, scene.mocap_low, scene.mocap_high)
+    effort = action[3]
+    sim = sim.replace(mocap=mocap)
+
+    def substep(sim: SimState, _):
+        dt = SIM_DT
+        # --- hand tracking (mocap weld) ---
+        target = sim.mocap + TCP_OFFSET
+        alpha = 1.0 - jnp.exp(-dt / HAND_TAU)
+        new_hand = sim.hand + (target - sim.hand) * alpha
+        hand_vel = (new_hand - sim.hand) / dt
+
+        # --- grasped-object gap clamp ---
+        # width the claws would close onto if the object is caged
+        caged = _grasp_geometry(scene, sim, sim.obj_pos)
+        can_grasp = caged & (scene.obj_graspable > 0) & (scene.obj_exists > 0)
+        obj_gap = jnp.where(
+            can_grasp | (sim.attached > 0),
+            2.0 * scene.obj_grasp_halfwidth + PAD_GAP_INSET,
+            jnp.inf,
+        )
+        clamp_gap = jnp.min(obj_gap)
+        gripper, gripper_vel, squeeze = _gripper_substep(sim, effort, clamp_gap, dt)
+
+        # --- attach / detach ---
+        gap_m = gripper * GRIPPER_FULL_OPEN
+        gripping = (effort > 0.0) & (squeeze > 0.0)
+        newly = can_grasp & gripping & (sim.attached == 0)
+        attach_off = jnp.where(
+            newly[:, None], sim.obj_pos - new_hand[None, :], sim.attach_off
+        )
+        attached = jnp.where(newly, 1.0, sim.attached)
+        # release when the gripper opens or the object is commanded open
+        release = (effort <= 0.0) | (
+            gap_m > 2.0 * scene.obj_grasp_halfwidth + PAD_GAP_INSET + 0.01
+        )
+        attached = jnp.where(release, 0.0, attached)
+        attached = attached * scene.obj_exists * scene.obj_graspable
+
+        # while attached: relax the grip offset toward the canonical grip point
+        settle = 1.0 - jnp.exp(-dt / 0.05)
+        canon = jnp.array([0.0, 0.0, 0.006])
+        attach_off = jnp.where(
+            attached[:, None] > 0,
+            attach_off + (canon[None, :] - attach_off) * settle,
+            attach_off,
+        )
+
+        # --- free-object dynamics ---
+        pos = sim.obj_pos
+        vel = sim.obj_vel
+        vel = vel + jnp.array([0.0, 0.0, -_GRAVITY]) * dt
+        pos = pos + vel * dt
+
+        # hand/pad pushing (kinematic spheres at tcp and both pads)
+        left, right = pad_positions(sim)
+        for kin in (new_hand + jnp.array([0.0, 0.0, 0.02]), left, right):
+            def push_one(p, v, radius):
+                return _resolve_kinematic_contact(p, v, kin, hand_vel, radius + 0.012)
+            p2, v2, _ = jax.vmap(push_one)(pos, vel, scene.obj_radius)
+            free = (sim.attached == 0) & (scene.obj_exists > 0)
+            pos = jnp.where(free[:, None], p2, pos)
+            vel = jnp.where(free[:, None], v2, vel)
+
+        # object-object contact (two-object scenes)
+        delta = pos[0] - pos[1]
+        dist = jnp.linalg.norm(delta)
+        r_sum = scene.obj_radius[0] + scene.obj_radius[1]
+        pen = jnp.maximum(r_sum - dist, 0.0)
+        both = (scene.obj_exists[0] > 0) & (scene.obj_exists[1] > 0)
+        n = delta / jnp.maximum(dist, 1e-9)
+        # push the second object (first is usually the tool/grasped one)
+        pos = pos.at[1].add(jnp.where(both & (sim.attached[1] == 0), -pen, 0.0) * n)
+        v_n = jnp.dot(vel[0] - vel[1], n)
+        vel = vel.at[1].add(
+            jnp.where(both & (pen > 0) & (v_n > 0) & (sim.attached[1] == 0), v_n, 0.0) * n
+        )
+
+        # static boxes (walls, bins, shelves, pegs)
+        box_pos, box_size = _static_boxes_world(scene, sim.fixture_pos)
+
+        def box_contacts(p, r):
+            def one(bp, bs, ex):
+                corr, nrm, pen = _sphere_box_pushout(p, r, bp, bs)
+                return corr * ex
+            return jnp.sum(jax.vmap(one)(box_pos, box_size, scene.static_exists), axis=0)
+
+        corr = jax.vmap(box_contacts)(pos, scene.obj_radius)
+        free = (sim.attached == 0) & (scene.obj_exists > 0)
+        pos = pos + corr * free[:, None]
+        # kill the velocity component pointing into the box (along -correction)
+        corr_n = maths.safe_normalize(corr)
+        v_into = jnp.minimum(jnp.sum(vel * corr_n, axis=1, keepdims=True), 0.0)
+        hit_box = (jnp.linalg.norm(corr, axis=1) > 1e-9)[:, None] & free[:, None]
+        vel = jnp.where(hit_box, vel - corr_n * v_into, vel)
+
+        # ground / pit support
+        def ground_one(p, v, half_h, fric):
+            sz = _support_z(scene, p[:2])
+            below = p[2] - half_h < sz
+            p = p.at[2].set(jnp.where(below, sz + half_h, p[2]))
+            v = v.at[2].set(jnp.where(below & (v[2] < 0.0), 0.0, v[2]))
+            # Coulomb friction on the tangential velocity while supported
+            speed = jnp.linalg.norm(v[:2])
+            dec = fric * _GRAVITY * dt
+            scale = jnp.where(speed > 1e-9, jnp.maximum(speed - dec, 0.0) / jnp.maximum(speed, 1e-9), 0.0)
+            v = v.at[:2].set(jnp.where(below, v[:2] * scale, v[:2]))
+            return p, v
+
+        frics = jnp.full((pos.shape[0],), _FRICTION_DEFAULT)
+        pos_g, vel_g = jax.vmap(ground_one)(pos, vel, scene.obj_half_h, frics)
+        pos = jnp.where(free[:, None], pos_g, pos)
+        vel = jnp.where(free[:, None], vel_g, vel)
+
+        # attached objects ride the hand
+        pos = jnp.where((attached > 0)[:, None], new_hand[None, :] + attach_off, pos)
+        vel = jnp.where((attached > 0)[:, None], hand_vel[None, :], vel)
+
+        # --- fixture mechanisms ---
+        handle = fixture_handle_pos(scene, sim.fixture_pos, sim.joint_q)  # (MAX_JOINT,3)
+        motion = fixture_motion_dir(scene, sim.fixture_pos, sim.joint_q)  # (MAX_JOINT,3)
+
+        # hook: gripper closes near a hookable handle -> joint follows hand
+        tcp_mid = new_hand + jnp.array([0.0, 0.0, PAD_Z_OFFSET * 0.6])
+        d_handle = jnp.linalg.norm(handle - tcp_mid[None, :], axis=1)
+        hook_now = (
+            (scene.joint_hookable > 0)
+            & (d_handle < _HOOK_RADIUS)
+            & (effort > 0.0)
+            & (gripper < 0.9)
+        )
+        hooked = jnp.where(hook_now, 1.0, sim.hooked)
+        unhook = (effort <= 0.0) | (d_handle > 0.12)
+        hooked = jnp.where(unhook, 0.0, hooked) * scene.joint_exists
+
+        # press: hand parts push the handle along the (negative) motion dir
+        press_force = jnp.zeros(sim.joint_q.shape)
+        for kin in (new_hand + jnp.array([0.0, 0.0, 0.02]), left, right):
+            delta_h = handle - kin[None, :]
+            dist_h = jnp.linalg.norm(delta_h, axis=1)
+            pen_h = jnp.maximum(scene.joint_handle_radius + 0.015 - dist_h, 0.0)
+            n_h = delta_h / jnp.maximum(dist_h, 1e-9)[:, None]
+            f = pen_h[:, None] * n_h * 4000.0
+            press_force = press_force + jnp.sum(f * motion, axis=1)
+
+        # generalized dynamics
+        q, qv = sim.joint_q, sim.joint_v
+        force = (
+            press_force
+            - scene.joint_damping * qv
+            - scene.joint_stiffness * (q - scene.joint_springref)
+            + scene.joint_bias
+        )
+        qacc = force / jnp.maximum(scene.joint_inertia, 1e-6)
+        qv = qv + qacc * dt
+        q_free = q + qv * dt
+        # hooked: joint coordinate servos toward the hand's projection
+        q_target = fixture_inverse(scene, sim.fixture_pos, tcp_mid)
+        q_hooked = q + jnp.clip(q_target - q, -2.5 * dt / SIM_DT * 0.01, 2.5 * dt / SIM_DT * 0.01) * (
+            1.0 - jnp.exp(-dt / 0.02)
+        )
+        q_new = jnp.where(hooked > 0, q_hooked, q_free)
+        q_new = jnp.clip(q_new, scene.joint_range[:, 0], scene.joint_range[:, 1])
+        qv = (q_new - q) / dt
+        q_new = q_new * scene.joint_exists
+        qv = qv * scene.joint_exists
+
+        # pad forces for touching_object (ref sawyer_xyz_env.py:401-440):
+        # positive squeeze on a caged object = both pads in contact
+        touching = (attached > 0) | (can_grasp & (squeeze > 0.0))
+        pad_f = jnp.where(jnp.any(touching), jnp.maximum(squeeze, 1.0), 0.0)
+
+        new_sim = sim.replace(
+            hand=new_hand,
+            hand_vel=hand_vel,
+            gripper=gripper,
+            gripper_vel=gripper_vel,
+            obj_pos=pos,
+            obj_vel=vel,
+            obj_quat=sim.obj_quat,
+            obj_angvel=sim.obj_angvel,
+            joint_q=q_new,
+            joint_v=qv,
+            attached=attached,
+            attach_off=attach_off,
+            hooked=hooked,
+            pad_force_l=pad_f,
+            pad_force_r=pad_f,
+        )
+        return new_sim, None
+
+    sim, _ = jax.lax.scan(substep, sim, None, length=FRAME_SKIP)
+    return sim
+
+
+def fixture_handle_pos(scene: SceneParams, fixture_pos, joint_q):
+    """World position of each fixture handle as a function of its joint
+    coordinate (slide: anchor + axis*q; hinge: pivot + R(axis, q) @ arm)."""
+    anchor = fixture_pos[None, :] + scene.joint_anchor
+    slide = anchor + scene.joint_axis * joint_q[:, None]
+    quat = jax.vmap(maths.axis_angle_quat)(scene.joint_axis, joint_q)
+    arm = jax.vmap(maths.quat_rotate)(quat, scene.joint_arm)
+    hinge = anchor + arm
+    is_hinge = (scene.joint_type == JointType.HINGE)[:, None]
+    return jnp.where(is_hinge, hinge, slide)
+
+
+def fixture_motion_dir(scene: SceneParams, fixture_pos, joint_q):
+    """Unit direction the handle moves for +dq (tangent for hinges)."""
+    quat = jax.vmap(maths.axis_angle_quat)(scene.joint_axis, joint_q)
+    arm = jax.vmap(maths.quat_rotate)(quat, scene.joint_arm)
+    tangent = jnp.cross(scene.joint_axis, arm)
+    tangent = maths.safe_normalize(tangent)
+    is_hinge = (scene.joint_type == JointType.HINGE)[:, None]
+    return jnp.where(is_hinge, tangent, maths.safe_normalize(scene.joint_axis))
+
+
+def fixture_inverse(scene: SceneParams, fixture_pos, point):
+    """Joint coordinate that brings the handle closest to `point`.
+
+    Slide: projection on the axis. Hinge: atan2 in the plane normal to the
+    axis."""
+    anchor = fixture_pos[None, :] + scene.joint_anchor
+    rel = point[None, :] - anchor
+    q_slide = jnp.sum(rel * scene.joint_axis, axis=1)
+    # hinge: angle from arm to rel, both projected normal to axis
+    axis = scene.joint_axis
+    arm0 = scene.joint_arm
+    rel_p = rel - jnp.sum(rel * axis, axis=1, keepdims=True) * axis
+    arm_p = arm0 - jnp.sum(arm0 * axis, axis=1, keepdims=True) * axis
+    cosq = jnp.sum(rel_p * arm_p, axis=1)
+    sinq = jnp.sum(jnp.cross(arm_p, rel_p) * axis, axis=1)
+    q_hinge = jnp.arctan2(sinq, cosq)
+    return jnp.where(scene.joint_type == JointType.HINGE, q_hinge, q_slide)
+
+
+def settled_hand_state(scene: SceneParams, hand_init: jnp.ndarray):
+    """Hand/gripper state after the reference's 50-step mocap servo reset
+    (ref sawyer_xyz_env.py:684-695) — computed analytically: the weld has
+    fully converged, the gripper is fully open (ctrl [-1, 1])."""
+    mocap = jnp.clip(hand_init, scene.mocap_low, scene.mocap_high)
+    tcp = mocap + TCP_OFFSET
+    return mocap, tcp
