@@ -178,10 +178,11 @@ def _gripper_substep(sim: SimState, effort, clamp_gap, dt):
     v_l = (q_l_new - q_l) / dt
 
     new_gap = GRIPPER_FULL_OPEN - (q_r_new - q_l_new)
-    # contact clamp against a grasped object: fingers cannot close past it
+    # contact clamp against a grasped object: fingers cannot close past it;
+    # squeeze force = remaining actuator drive while the clamp binds
     clamped_gap = jnp.maximum(new_gap, clamp_gap)
-    squeeze = jnp.maximum(_F_KP * (e - q_r_new), 0.0) * (clamped_gap > new_gap - 1e-12)
-    squeeze = jnp.where(clamp_gap < GRIPPER_FULL_OPEN, squeeze, 0.0)
+    binds = clamp_gap > new_gap
+    squeeze = jnp.where(binds, jnp.maximum(_F_KP * (e - q_r_new), 0.0), 0.0)
     new_vel = (clamped_gap - gap) / dt / GRIPPER_FULL_OPEN
     return clamped_gap / GRIPPER_FULL_OPEN, new_vel, squeeze
 
@@ -224,9 +225,9 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         obj_gap = jnp.where(
             can_grasp | (sim.attached > 0),
             2.0 * scene.obj_grasp_halfwidth + PAD_GAP_INSET,
-            jnp.inf,
+            0.0,  # no caged object: fingers close freely
         )
-        clamp_gap = jnp.min(obj_gap)
+        clamp_gap = jnp.max(obj_gap)
         gripper, gripper_vel, squeeze = _gripper_substep(sim, effort, clamp_gap, dt)
 
         # --- attach / detach ---
