@@ -68,7 +68,7 @@ _L_RANGE = (-0.03, 0.0)
 _HAND_SPHERE_R = 0.026   # palm/claw effective radius for pushing
 _FRICTION_DEFAULT = 0.55
 _GRASP_XZ_TOL = 0.035    # max horizontal tcp-to-object distance for a grasp
-_GRASP_Z_SPAN = 0.055    # pads (vertical boxes) can grip within this z span
+_GRASP_Z_SPAN = 0.09     # pads (vertical plates) span tcp .. tcp+0.09 in z
 _HOOK_RADIUS = 0.045     # tcp-to-handle distance to hook a hookable fixture
 _GRAVITY = 9.81
 
@@ -197,7 +197,7 @@ def _grasp_geometry(scene: SceneParams, sim: SimState, obj_pos):
     gap = gripper_gap(sim)
     between = dy < gap / 2.0 + 0.01
     near_x = dx < _GRASP_XZ_TOL
-    near_z = (dz > -0.02) & (dz < _GRASP_Z_SPAN + 0.02)
+    near_z = (dz > -0.025) & (dz < _GRASP_Z_SPAN)
     return between & near_x & near_z
 
 
@@ -260,12 +260,25 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         vel = vel + jnp.array([0.0, 0.0, -_GRAVITY]) * dt
         pos = pos + vel * dt
 
-        # hand/pad pushing (kinematic spheres at tcp and both pads)
+        # finger-pad pushing: the pads are thin vertical plates (world half
+        # extents ~(0.015, 0.003, 0.045), ref xyz_base.xml:171,183) that cage
+        # and drag objects; there is NO geometry between the fingers, so an
+        # object between the open pads is untouched.
         left, right = pad_positions(sim)
-        for kin in (new_hand + jnp.array([0.0, 0.0, 0.02]), left, right):
+        pad_half = jnp.array([0.015, 0.0045, 0.045])
+        for kin in (left, right):
+            kin_c = kin  # pad box center already at tcp + PAD_Z_OFFSET
+
             def push_one(p, v, radius):
-                return _resolve_kinematic_contact(p, v, kin, hand_vel, radius + 0.012)
-            p2, v2, _ = jax.vmap(push_one)(pos, vel, scene.obj_radius)
+                corr, n, pen = _sphere_box_pushout(p, radius, kin_c, pad_half)
+                hit = pen > 0.0
+                p = p + corr
+                # match normal velocity with the (kinematic) pad
+                v_rel_n = jnp.dot(v - hand_vel, n)
+                v = jnp.where(hit & (v_rel_n < 0.0), v - n * v_rel_n, v)
+                return p, v
+
+            p2, v2 = jax.vmap(push_one)(pos, vel, scene.obj_radius)
             free = (sim.attached == 0) & (scene.obj_exists > 0)
             pos = jnp.where(free[:, None], p2, pos)
             vel = jnp.where(free[:, None], v2, vel)
@@ -320,8 +333,13 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         pos = jnp.where(free[:, None], pos_g, pos)
         vel = jnp.where(free[:, None], vel_g, vel)
 
-        # attached objects ride the hand
-        pos = jnp.where((attached > 0)[:, None], new_hand[None, :] + attach_off, pos)
+        # attached objects ride the hand — but never through the table (a
+        # dragged puck stays supported; only lifting raises it)
+        att_pos = new_hand[None, :] + attach_off
+        att_support = jax.vmap(lambda p: _support_z(scene, p[:2]))(att_pos)
+        att_z = jnp.maximum(att_pos[:, 2], att_support + scene.obj_half_h)
+        att_pos = att_pos.at[:, 2].set(att_z)
+        pos = jnp.where((attached > 0)[:, None], att_pos, pos)
         vel = jnp.where((attached > 0)[:, None], hand_vel[None, :], vel)
 
         # --- fixture mechanisms ---
