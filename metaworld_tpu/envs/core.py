@@ -331,6 +331,57 @@ def gripper_caging_reward(
     return caging_and_gripping
 
 
+def gripper_caging_reward_grip(
+    spec: TaskSpec,
+    state: EnvState,
+    action,
+    obj_pos,
+    obj_radius: float,
+    grip_margin_add: float,
+    xz_margin: float,
+    caging_thresh: float = 0.95,
+):
+    """The caging variant shared by push-back/sweep/sweep-into/soccer
+    (e.g. ref sawyer_sweep_v3.py:150-250): adds a tighter y_gripping band
+    (bounds (obj_radius, obj_radius + grip_margin_add)) and AVERAGES caging
+    with gripping instead of taking the hamacher product. Margins reference
+    the live pad positions (the reference's init pads are mjData views)."""
+    pad_success_margin = 0.05
+    grip_success_margin = obj_radius + grip_margin_add
+    tcp = state.sim.hand
+    left_pad, right_pad = engine.pad_positions(state.sim)
+    delta_y_left = left_pad[1] - obj_pos[1]
+    delta_y_right = obj_pos[1] - right_pad[1]
+    right_margin = jnp.abs(jnp.abs(obj_pos[1] - right_pad[1]) - pad_success_margin)
+    left_margin = jnp.abs(jnp.abs(obj_pos[1] - left_pad[1]) - pad_success_margin)
+
+    def tol(x, hi, margin):
+        return reward_utils.tolerance(
+            x, bounds=(obj_radius, hi), margin=margin, sigmoid="long_tail"
+        )
+
+    right_caging = tol(delta_y_right, pad_success_margin, right_margin)
+    left_caging = tol(delta_y_left, pad_success_margin, left_margin)
+    right_gripping = tol(delta_y_right, grip_success_margin, right_margin)
+    left_gripping = tol(delta_y_left, grip_success_margin, left_margin)
+    y_caging = reward_utils.hamacher_product(right_caging, left_caging)
+    y_gripping = reward_utils.hamacher_product(right_gripping, left_gripping)
+
+    tcp_xz = jnp.array([tcp[0], 0.0, tcp[2]])
+    obj_xz = jnp.array([obj_pos[0], 0.0, obj_pos[2]])
+    tcp_obj_xz = jnp.linalg.norm(tcp_xz - obj_xz)
+    init_obj = state.obj_init_pos[0]
+    init_obj_xz = jnp.array([init_obj[0], 0.0, init_obj[2]])
+    init_tcp_xz = jnp.array([state.init_tcp[0], 0.0, state.init_tcp[2]])
+    xz_margin_v = jnp.linalg.norm(init_obj_xz - init_tcp_xz) - xz_margin
+    x_z_caging = reward_utils.tolerance(
+        tcp_obj_xz, bounds=(0, xz_margin), margin=xz_margin_v, sigmoid="long_tail"
+    )
+    caging = reward_utils.hamacher_product(y_caging, x_z_caging)
+    gripping = jnp.where(caging > caging_thresh, y_gripping, 0.0)
+    return (caging + gripping) / 2
+
+
 def touching_main_object(state: EnvState) -> jnp.ndarray:
     """Both pads carry positive force on the object (ref :393-440)."""
     return (state.sim.pad_force_l > 0) & (state.sim.pad_force_r > 0)
