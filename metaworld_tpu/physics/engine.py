@@ -245,14 +245,16 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         attached = jnp.where(release, 0.0, attached)
         attached = attached * scene.obj_exists * scene.obj_graspable
 
-        # while attached: relax the grip offset toward the canonical grip point
+        # while attached: the object settles INTO the grip — xy centers between
+        # the pads, z slides UP toward the canonical grip point (tcp + 0.006)
+        # but never down (squeezing can only raise a gripped object)
         settle = 1.0 - jnp.exp(-dt / 0.05)
-        canon = jnp.array([0.0, 0.0, 0.006])
-        attach_off = jnp.where(
-            attached[:, None] > 0,
-            attach_off + (canon[None, :] - attach_off) * settle,
-            attach_off,
-        )
+        off_xy = attach_off[:, :2] * (1.0 - settle)
+        canon_z = 0.006
+        off_z = attach_off[:, 2]
+        off_z = jnp.where(off_z < canon_z, off_z + (canon_z - off_z) * settle, off_z)
+        settled = jnp.concatenate([off_xy, off_z[:, None]], axis=1)
+        attach_off = jnp.where(attached[:, None] > 0, settled, attach_off)
 
         # --- free-object dynamics ---
         pos = sim.obj_pos
@@ -338,6 +340,14 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         att_pos = new_hand[None, :] + attach_off
         att_support = jax.vmap(lambda p: _support_z(scene, p[:2]))(att_pos)
         att_z = jnp.maximum(att_pos[:, 2], att_support + scene.obj_half_h)
+        # grip slip: while the support pins a gripped object, the fingers
+        # slide along it — the grip offset re-seats to the pinned position
+        # (MuJoCo's friction grip does this implicitly). Without this, carry
+        # policies deadlock at hover/descend branch boundaries.
+        pinned = (attached > 0) & (att_pos[:, 2] < att_z - 1e-9)
+        attach_off = attach_off.at[:, 2].set(
+            jnp.where(pinned, att_z - new_hand[2], attach_off[:, 2])
+        )
         att_pos = att_pos.at[:, 2].set(att_z)
         pos = jnp.where((attached > 0)[:, None], att_pos, pos)
         vel = jnp.where((attached > 0)[:, None], hand_vel[None, :], vel)
