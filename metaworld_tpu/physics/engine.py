@@ -369,15 +369,35 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         unhook = (effort <= 0.0) | (d_handle > 0.12)
         hooked = jnp.where(unhook, 0.0, hooked) * scene.joint_exists
 
-        # press: hand parts push the handle along the (negative) motion dir
+        # press: gripper parts push the handle. Parts model the real claw
+        # assembly (ref xyz_base.xml:151-188): fingertip point at the tcp,
+        # the two pad plates, and the knuckle block above them.
         press_force = jnp.zeros(sim.joint_q.shape)
-        for kin in (new_hand + jnp.array([0.0, 0.0, 0.02]), left, right):
-            delta_h = handle - kin[None, :]
+        pad_half_press = jnp.array([0.015, 0.0045, 0.045])
+        knuckle = new_hand + jnp.array([0.0, 0.0, 0.105])
+
+        def sphere_part(center, r_part):
+            delta_h = handle - center[None, :]
             dist_h = jnp.linalg.norm(delta_h, axis=1)
-            pen_h = jnp.maximum(scene.joint_handle_radius + 0.015 - dist_h, 0.0)
+            pen_h = jnp.maximum(scene.joint_handle_radius + r_part - dist_h, 0.0)
             n_h = delta_h / jnp.maximum(dist_h, 1e-9)[:, None]
-            f = pen_h[:, None] * n_h * 4000.0
-            press_force = press_force + jnp.sum(f * motion, axis=1)
+            return jnp.sum(pen_h[:, None] * n_h * 4000.0 * motion, axis=1)
+
+        def box_part(center):
+            d = handle - center[None, :]
+            clamped = jnp.clip(d, -pad_half_press, pad_half_press)
+            delta_h = d - clamped
+            dist_h = jnp.linalg.norm(delta_h, axis=1)
+            pen_h = jnp.maximum(scene.joint_handle_radius - dist_h, 0.0)
+            n_h = delta_h / jnp.maximum(dist_h, 1e-9)[:, None]
+            return jnp.sum(pen_h[:, None] * n_h * 4000.0 * motion, axis=1)
+
+        press_force = (
+            sphere_part(new_hand, 0.012)
+            + sphere_part(knuckle, 0.032)
+            + box_part(left)
+            + box_part(right)
+        )
 
         # generalized dynamics
         q, qv = sim.joint_q, sim.joint_v
