@@ -1,0 +1,119 @@
+"""plate-slide-v3: slide the puck forward into the goal cabinet.
+
+Ref metaworld/envs/sawyer_plate_slide_v3.py: puck (2-dof planar, not
+graspable) starts at (0,0.6,0.015); goal in [-0.1,0.1]x[0.85,0.9] z=0;
+v2 reward (:121-165): 8 * hamacher(object_grasped(reach), in_place);
+success |obj - target| <= 0.07.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from metaworld_tpu.envs import registry
+from metaworld_tpu.envs.core import TaskSpec
+from metaworld_tpu.envs.scene_builder import FreeObj, build_scene
+from metaworld_tpu.envs.tasks import common
+from metaworld_tpu.rewards import utils as reward_utils
+
+
+def make_puck_scene():
+    return build_scene(
+        objs=[FreeObj(radius=0.05, half_h=0.015, graspable=False, mass=0.3)],
+        mocap_low=(-0.5, 0.40, 0.05),
+        mocap_high=(0.5, 1.0, 0.5),
+    )
+
+
+def make_puck_reset(puck_start):
+    def _reset(spec: TaskSpec, rand, rng):
+        return dict(
+            obj_pos=common.pad_obj_pos(jnp.asarray(puck_start)),
+            obj_init_pos=common.pad_obj_pos(rand[:3]),
+            target=rand[3:6],
+        )
+    return _reset
+
+
+def _reward(spec: TaskSpec, state, obs, action):
+    target_radius = 0.05
+    tcp = state.sim.hand
+    obj = obs[4:7]
+    target = state.target
+    obj_to_target = jnp.linalg.norm(obj - target)
+    in_place_margin = jnp.linalg.norm(state.obj_init_pos[0] - target)
+    in_place = reward_utils.tolerance(
+        obj_to_target, bounds=(0, target_radius), margin=in_place_margin,
+        sigmoid="long_tail",
+    )
+    tcp_to_obj = jnp.linalg.norm(tcp - obj)
+    grasp_margin = jnp.linalg.norm(state.init_tcp - state.obj_init_pos[0])
+    object_grasped = reward_utils.tolerance(
+        tcp_to_obj, bounds=(0, target_radius), margin=grasp_margin,
+        sigmoid="long_tail",
+    )
+    reward = 8.0 * reward_utils.hamacher_product(object_grasped, in_place)
+    reward = jnp.where(obj_to_target < target_radius, 10.0, reward)
+    return common.eval_out(
+        reward=reward,
+        success=(obj_to_target <= 0.07).astype(jnp.float32),
+        near_object=(tcp_to_obj <= 0.03).astype(jnp.float32),
+        grasp_success=1.0,
+        grasp_reward=object_grasped,
+        in_place_reward=in_place,
+        obj_to_target=obj_to_target,
+    )
+
+
+def staged_puck_reward(spec: TaskSpec, state, obs, action):
+    """Shared by the side/back variants (e.g. ref
+    sawyer_plate_slide_side_v3.py:126-170): margins subtract the radius and
+    the in_place stage gates on tcp height."""
+    target_radius = 0.05
+    tcp = state.sim.hand
+    obj = obs[4:7]
+    target = state.target
+    obj_to_target = jnp.linalg.norm(obj - target)
+    in_place_margin = jnp.linalg.norm(state.obj_init_pos[0] - target)
+    in_place = reward_utils.tolerance(
+        obj_to_target, bounds=(0, target_radius),
+        margin=in_place_margin - target_radius, sigmoid="long_tail",
+    )
+    tcp_to_obj = jnp.linalg.norm(tcp - obj)
+    grasp_margin = jnp.linalg.norm(state.init_tcp - state.obj_init_pos[0])
+    object_grasped = reward_utils.tolerance(
+        tcp_to_obj, bounds=(0, target_radius),
+        margin=grasp_margin - target_radius, sigmoid="long_tail",
+    )
+    reward = 1.5 * object_grasped
+    reward = jnp.where(
+        (tcp[2] <= 0.03) & (tcp_to_obj < 0.07), 2.0 + 7.0 * in_place, reward
+    )
+    reward = jnp.where(obj_to_target < target_radius, 10.0, reward)
+    return common.eval_out(
+        reward=reward,
+        success=(obj_to_target <= 0.07).astype(jnp.float32),
+        near_object=(tcp_to_obj <= 0.03).astype(jnp.float32),
+        grasp_success=1.0,
+        grasp_reward=object_grasped,
+        in_place_reward=in_place,
+        obj_to_target=obj_to_target,
+    )
+
+
+@registry.register("plate-slide-v3")
+def make_spec(task_id: int) -> TaskSpec:
+    return TaskSpec(
+        name="plate-slide-v3",
+        task_id=task_id,
+        scene=make_puck_scene(),
+        rand_low=np.array([0.0, 0.6, 0.0, -0.1, 0.85, 0.0]),
+        rand_high=np.array([0.0, 0.6, 0.0, 0.1, 0.9, 0.0]),
+        hand_init_pos=np.array([0.0, 0.6, 0.2]),
+        goal_low=np.array([-0.1, 0.85, 0.0]),
+        goal_high=np.array([0.1, 0.9, 0.0]),
+        reset_fn=make_puck_reset((0.0, 0.6, 0.015)),
+        reward_fn=_reward,
+        n_obs_obj=1,
+    )

@@ -87,7 +87,9 @@ def _reward(spec: TaskSpec, state, obs, action):
 @registry.register("soccer-v3")
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
-        objs=[FreeObj(kind=2, radius=0.026, half_h=0.026, graspable=True,
+        # the reference's scripted play never grasps the ball (grasp_success
+        # is 0 across all golden traces): it is kicked/pushed only
+        objs=[FreeObj(kind=2, radius=0.026, half_h=0.026, graspable=False,
                       grasp_halfwidth=0.026, mass=0.05)],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

@@ -41,6 +41,7 @@ from metaworld_tpu.types import (
     SIM_DT,
     TABLE_Z,
     JointType,
+    ObjType,
     SceneParams,
     SimState,
 )
@@ -268,19 +269,60 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # object between the open pads is untouched.
         left, right = pad_positions(sim)
         pad_half = jnp.array([0.015, 0.0045, 0.045])
+        # tangential stick per substep while in contact: flat objects (pucks,
+        # plates, boxes) are dragged by the high-friction pads; spheres roll
+        # instead of sticking
+        blend_by_type = jnp.where(scene.obj_type == ObjType.SPHERE, 0.04, 0.35)
         for kin in (left, right):
             kin_c = kin  # pad box center already at tcp + PAD_Z_OFFSET
 
-            def push_one(p, v, radius):
-                corr, n, pen = _sphere_box_pushout(p, radius, kin_c, pad_half)
-                hit = pen > 0.0
-                p = p + corr
-                # match normal velocity with the (kinematic) pad
+            def push_one(p, v, radius, half_h, blend, otype):
+                # flat objects (pucks/plates/boxes): AABB-vs-AABB, push out
+                # along the least-penetration axis. round objects (balls):
+                # sphere-vs-box so grazing contacts deflect instead of
+                # slamming along an axis. friction drags the object
+                # tangentially with the pad (the reference's high-friction
+                # pads slide plates around this way).
+                obj_half = jnp.stack([radius, radius, half_h])
+                d = p - kin_c
+                pen_box = (pad_half + obj_half) - jnp.abs(d)
+                hit_box = jnp.all(pen_box > 0.0)
+                axis = jnp.argmin(pen_box)
+                n_box = jnp.zeros(3).at[axis].set(jnp.where(d[axis] >= 0, 1.0, -1.0))
+                depth_box = jnp.where(hit_box, pen_box[axis], 0.0)
+
+                _, n_sph, pen_sph = _sphere_box_pushout(p, radius, kin_c, pad_half)
+                is_sphere = otype == ObjType.SPHERE
+                n = jnp.where(is_sphere, n_sph, n_box)
+                depth = jnp.where(is_sphere, pen_sph, depth_box)
+                hit = depth > 0.0
+
+                # soft projection for spheres: grazing pad sweeps deflect the
+                # ball instead of carrying it pinned at hand speed
+                frac = jnp.where(is_sphere, 0.3, 1.0)
+                p = p + frac * depth * n
                 v_rel_n = jnp.dot(v - hand_vel, n)
                 v = jnp.where(hit & (v_rel_n < 0.0), v - n * v_rel_n, v)
+                # restitution for spheres: the ball squirts ahead of the push
+                # so the contact breaks (rolling escape); ground friction then
+                # brings it to rest — net effect matches MuJoCo's dribbling
+                hand_n = jnp.dot(hand_vel, n)
+                ball_n = jnp.dot(v, n)
+                boost = jnp.where(
+                    hit & is_sphere & (hand_n > 0.0) & (ball_n < 1.8 * hand_n),
+                    1.8 * hand_n - ball_n,
+                    0.0,
+                )
+                v = v + boost * n
+                dv = hand_vel - v
+                dv_t = dv - n * jnp.dot(dv, n)
+                v = v + jnp.where(hit, blend, 0.0) * dv_t
                 return p, v
 
-            p2, v2 = jax.vmap(push_one)(pos, vel, scene.obj_radius)
+            p2, v2 = jax.vmap(push_one)(
+                pos, vel, scene.obj_radius, scene.obj_half_h, blend_by_type,
+                scene.obj_type,
+            )
             free = (sim.attached == 0) & (scene.obj_exists > 0)
             pos = jnp.where(free[:, None], p2, pos)
             vel = jnp.where(free[:, None], v2, vel)
