@@ -210,6 +210,7 @@ def base_sim_state(spec: TaskSpec) -> SimState:
         joint_v=z(MAX_JOINT),
         attached=z(MAX_OBJ),
         attach_off=z((MAX_OBJ, 3)),
+        unanchored=z(MAX_OBJ),
         hooked=z(MAX_JOINT),
         pad_force_l=z(()),
         pad_force_r=z(()),

@@ -33,6 +33,8 @@ class FreeObj:
     mass: float = 0.1
     graspable: bool = True
     grasp_halfwidth: float = 0.02  # y half-width the pads clamp onto
+    anchored: bool = False      # held in place (socketed) until first grasped
+    tool_off: tuple = (0.0, 0.0, 0.0)  # tool point rel. COM (hammer head, stick tip)
 
 
 @dataclasses.dataclass
@@ -69,6 +71,8 @@ def build_scene(
     pit_depth=0.0,
     mocap_low=(-0.2, 0.55, 0.05),
     mocap_high=(0.2, 0.75, 0.3),
+    link_enable=False,
+    link_handle_off=(0.0, 0.0, 0.0),
 ) -> SceneParams:
     """Assemble a SceneParams row (numpy, unbatched) with padding."""
     assert len(objs) <= MAX_OBJ and len(joints) <= MAX_JOINT and len(boxes) <= MAX_STATIC
@@ -92,6 +96,10 @@ def build_scene(
         obj_mass=pad([x.mass for x in o], MAX_OBJ).astype(f),
         obj_graspable=pad([float(x.graspable) for x in o], MAX_OBJ).astype(f),
         obj_grasp_halfwidth=pad([x.grasp_halfwidth for x in o], MAX_OBJ).astype(f),
+        obj_anchored=pad([float(x.anchored) for x in o], MAX_OBJ).astype(f),
+        obj_tool_off=pad([x.tool_off for x in o], MAX_OBJ, 3).astype(f),
+        link_enable=np.asarray(float(link_enable), dtype=f),
+        link_handle_off=np.asarray(link_handle_off, dtype=f),
         joint_exists=pad([1.0] * len(j), MAX_JOINT).astype(f),
         joint_type=pad([x.kind for x in j], MAX_JOINT).astype(np.int32),
         joint_axis=pad([x.axis for x in j], MAX_JOINT, 3).astype(f),

@@ -239,6 +239,8 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             newly[:, None], sim.obj_pos - new_hand[None, :], sim.attach_off
         )
         attached = jnp.where(newly, 1.0, sim.attached)
+        # anchored objects (socketed plugs) come free at their first grasp
+        unanchored = jnp.where(newly, 1.0, sim.unanchored)
         # release when the gripper opens or the object is commanded open
         release = (effort <= 0.0) | (
             gap_m > 2.0 * scene.obj_grasp_halfwidth + PAD_GAP_INSET + 0.01
@@ -258,9 +260,12 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         attach_off = jnp.where(attached[:, None] > 0, settled, attach_off)
 
         # --- free-object dynamics ---
+        # anchored objects are pinned (socketed) until their first grasp
+        pinned_anchor = (scene.obj_anchored > 0) & (unanchored == 0)
         pos = sim.obj_pos
         vel = sim.obj_vel
         vel = vel + jnp.array([0.0, 0.0, -_GRAVITY]) * dt
+        vel = jnp.where(pinned_anchor[:, None], 0.0, vel)
         pos = pos + vel * dt
 
         # finger-pad pushing: the pads are thin vertical plates (world half
@@ -323,7 +328,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 pos, vel, scene.obj_radius, scene.obj_half_h, blend_by_type,
                 scene.obj_type,
             )
-            free = (sim.attached == 0) & (scene.obj_exists > 0)
+            free = (sim.attached == 0) & (scene.obj_exists > 0) & ~pinned_anchor & ~pinned_anchor
             pos = jnp.where(free[:, None], p2, pos)
             vel = jnp.where(free[:, None], v2, vel)
 
@@ -351,7 +356,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             return jnp.sum(jax.vmap(one)(box_pos, box_size, scene.static_exists), axis=0)
 
         corr = jax.vmap(box_contacts)(pos, scene.obj_radius)
-        free = (sim.attached == 0) & (scene.obj_exists > 0)
+        free = (sim.attached == 0) & (scene.obj_exists > 0) & ~pinned_anchor
         pos = pos + corr * free[:, None]
         # kill the velocity component pointing into the box (along -correction)
         corr_n = maths.safe_normalize(corr)
@@ -393,6 +398,20 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         att_pos = att_pos.at[:, 2].set(att_z)
         pos = jnp.where((attached > 0)[:, None], att_pos, pos)
         vel = jnp.where((attached > 0)[:, None], hand_vel[None, :], vel)
+
+        # --- tool link (stick-pull): when obj0's tool tip is hooked through
+        # obj1's handle (the reference's _stick_is_inserted geometry,
+        # sawyer_stick_pull_v3.py:187-194), obj1 is dragged with obj0 ---
+        tool_pt = pos[0] + scene.obj_tool_off[0]
+        handle_pt = pos[1] + scene.link_handle_off
+        linked = (
+            (scene.link_enable > 0)
+            & (tool_pt[0] >= handle_pt[0])
+            & (jnp.abs(tool_pt[1] - handle_pt[1]) <= 0.040)
+            & (jnp.abs(tool_pt[2] - handle_pt[2]) <= 0.060)
+        )
+        delta0 = (pos[0] - sim.obj_pos[0]) * jnp.array([1.0, 1.0, 0.0])
+        pos = pos.at[1].add(jnp.where(linked, 1.0, 0.0) * delta0)
 
         # --- fixture mechanisms ---
         handle = fixture_handle_pos(scene, sim.fixture_pos, sim.joint_q)  # (MAX_JOINT,3)
@@ -440,6 +459,10 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             + box_part(left)
             + box_part(right)
         )
+        # held tools strike fixture handles too (hammer head -> nail)
+        for i in range(pos.shape[0]):
+            tool_i = pos[i] + scene.obj_tool_off[i]
+            press_force = press_force + scene.obj_exists[i] * sphere_part(tool_i, 0.02)
 
         # generalized dynamics
         q, qv = sim.joint_q, sim.joint_v
@@ -481,6 +504,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             joint_v=qv,
             attached=attached,
             attach_off=attach_off,
+            unanchored=unanchored,
             hooked=hooked,
             pad_force_l=pad_f,
             pad_force_r=pad_f,

@@ -81,6 +81,13 @@ class SceneParams:
     obj_mass: jnp.ndarray        # (MAX_OBJ,)
     obj_graspable: jnp.ndarray   # (MAX_OBJ,) 0/1 — can be caged by the pads
     obj_grasp_halfwidth: jnp.ndarray  # (MAX_OBJ,) y half-width the pads clamp onto
+    obj_anchored: jnp.ndarray    # (MAX_OBJ,) 0/1 — held in place (socketed plug)
+                                 # until first grasped
+    obj_tool_off: jnp.ndarray    # (MAX_OBJ, 3) tool point rel. COM (hammer head,
+                                 # stick tip) — contacts fixture handles and drives
+                                 # the object-object link
+    link_enable: jnp.ndarray     # () 0/1 — obj0's tool point can hook obj1
+    link_handle_off: jnp.ndarray # (3,) hook point rel. obj1 COM
 
     # --- articulated fixture joints (handle kinematics: q -> handle pos) ---
     joint_exists: jnp.ndarray    # (MAX_JOINT,) 0/1
@@ -130,6 +137,8 @@ class SimState:
     joint_v: jnp.ndarray      # (MAX_JOINT,)
     attached: jnp.ndarray     # (MAX_OBJ,) 0/1 — object welded to the hand (grasped)
     attach_off: jnp.ndarray   # (MAX_OBJ, 3) object offset from hand while attached
+    unanchored: jnp.ndarray   # (MAX_OBJ,) 0/1 latch — anchored object freed by
+                              # its first grasp
     hooked: jnp.ndarray       # (MAX_JOINT,) 0/1 — gripper hooked on fixture handle
     pad_force_l: jnp.ndarray  # () left pad normal force on main object
     pad_force_r: jnp.ndarray  # () right pad normal force on main object
