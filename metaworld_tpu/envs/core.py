@@ -247,12 +247,9 @@ def env_reset(spec: TaskSpec, rand_vec: jnp.ndarray, rng: jnp.ndarray,
 
     curr = curr_obs18(spec, state)
     state = state.replace(prev_obs=curr)
+    # NB the reference does NOT clip the reset observation (clipping happens
+    # only in step, ref sawyer_xyz_env.py:623-628 vs :664-682)
     obs = assemble_obs(spec, state, curr)
-    lo_v, hi_v = spec.obs_clip_visible
-    lo_h, hi_h = spec.obs_clip_hidden
-    lo = jnp.where(state.goal_visible > 0, lo_v, lo_h)
-    hi = jnp.where(state.goal_visible > 0, hi_v, hi_h)
-    obs = jnp.clip(obs, lo, hi)
     return state, obs
 
 

@@ -35,6 +35,7 @@ class FreeObj:
     grasp_halfwidth: float = 0.02  # y half-width the pads clamp onto
     anchored: bool = False      # held in place (socketed) until first grasped
     tool_off: tuple = (0.0, 0.0, 0.0)  # tool point rel. COM (hammer head, stick tip)
+    grasp_off: tuple = (0.0, 0.0, 0.0)  # grasp point rel. COM (handles, knobs)
 
 
 @dataclasses.dataclass
@@ -53,6 +54,7 @@ class FixtureJoint:
     bias: float = 0.0                  # constant generalized force (gravity)
     handle_radius: float = 0.02
     hookable: bool = False             # gripper can close on handle and pull
+    panel: bool = False                # hinge carries a panel (press along the arm span)
 
 
 @dataclasses.dataclass
@@ -98,6 +100,7 @@ def build_scene(
         obj_grasp_halfwidth=pad([x.grasp_halfwidth for x in o], MAX_OBJ).astype(f),
         obj_anchored=pad([float(x.anchored) for x in o], MAX_OBJ).astype(f),
         obj_tool_off=pad([x.tool_off for x in o], MAX_OBJ, 3).astype(f),
+        obj_grasp_off=pad([x.grasp_off for x in o], MAX_OBJ, 3).astype(f),
         link_enable=np.asarray(float(link_enable), dtype=f),
         link_handle_off=np.asarray(link_handle_off, dtype=f),
         joint_exists=pad([1.0] * len(j), MAX_JOINT).astype(f),
@@ -113,6 +116,7 @@ def build_scene(
         joint_bias=pad([x.bias for x in j], MAX_JOINT).astype(f),
         joint_handle_radius=pad([x.handle_radius for x in j], MAX_JOINT).astype(f),
         joint_hookable=pad([float(x.hookable) for x in j], MAX_JOINT).astype(f),
+        joint_panel=pad([float(x.panel) for x in j], MAX_JOINT).astype(f),
         static_exists=pad([1.0] * len(b), MAX_STATIC).astype(f),
         static_pos=pad([x.pos for x in b], MAX_STATIC, 3).astype(f),
         static_size=pad([x.size for x in b], MAX_STATIC, 3).astype(f),

@@ -1,0 +1,104 @@
+"""dial-turn-v3: rotate the dial knob ~90 degrees.
+
+Ref metaworld/envs/sawyer_dial_turn_v3.py: dial at rand (x in [-0.1,0.1],
+y in [0.7,0.8], 0); knob arm (0,-0.05,0) rotating about -z; target =
+dial + (0, 0.03, 0.03); push point = knob + (0.05, 0.02, 0.09);
+TARGET_RADIUS 0.07.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from metaworld_tpu.envs import registry
+from metaworld_tpu.envs.core import TaskSpec
+from metaworld_tpu.envs.scene_builder import FixtureJoint, build_scene
+from metaworld_tpu.envs.tasks import common
+from metaworld_tpu.physics import engine
+from metaworld_tpu.rewards import utils as reward_utils
+from metaworld_tpu.types import JointType
+
+_R = 0.07
+_PUSH_OFF = (0.05, 0.02, 0.09)
+
+
+def _reset(spec: TaskSpec, rand, rng):
+    dial = rand[:3]
+    target = dial + jnp.array([0.0, 0.03, 0.03])
+    knob0 = dial + jnp.array([0.0, -0.05, 0.0])
+    push0 = knob0 + jnp.asarray(_PUSH_OFF)
+    return dict(
+        fixture_pos=dial,
+        target=target,
+        obj_init_pos=common.pad_obj_pos(push0),  # dial_push_position at reset
+    )
+
+
+def _obs(spec: TaskSpec, state):
+    # the physical knob (contact point) rises 0.07 above the dial face, but
+    # the observed site sits at the base (z 0)
+    handle = engine.fixture_handle_pos(
+        spec.scene_device, state.sim.fixture_pos, state.sim.joint_q
+    ) - jnp.array([0.0, 0.0, 0.07])
+    quat = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (2, 1))
+    return handle, quat
+
+
+def _reward(spec: TaskSpec, state, obs, action):
+    obj = obs[4:7]
+    push_pos = obj + jnp.asarray(_PUSH_OFF)
+    tcp = state.sim.hand
+    target = state.target
+    target_to_obj = jnp.linalg.norm(obj - target)
+    target_to_obj_init = jnp.linalg.norm(state.obj_init_pos[0] - target)
+    in_place = reward_utils.tolerance(
+        target_to_obj, bounds=(0, _R),
+        margin=jnp.abs(target_to_obj_init - _R), sigmoid="long_tail",
+    )
+    dial_reach_radius = 0.005
+    tcp_to_obj = jnp.linalg.norm(push_pos - tcp)
+    tcp_to_obj_init = jnp.linalg.norm(state.obj_init_pos[0] - state.init_tcp)
+    reach = reward_utils.tolerance(
+        tcp_to_obj, bounds=(0, dial_reach_radius),
+        margin=jnp.abs(tcp_to_obj_init - dial_reach_radius), sigmoid="gaussian",
+    )
+    gripper_closed = jnp.minimum(jnp.maximum(0.0, action[-1]), 1.0)
+    reach = reward_utils.hamacher_product(reach, gripper_closed)
+    reward = 10.0 * reward_utils.hamacher_product(reach, in_place)
+    return common.eval_out(
+        reward=reward,
+        success=(target_to_obj <= _R).astype(jnp.float32),
+        near_object=(tcp_to_obj <= 0.05).astype(jnp.float32),
+        grasp_success=1.0,
+        grasp_reward=reach,
+        in_place_reward=in_place,
+        obj_to_target=target_to_obj,
+    )
+
+
+@registry.register("dial-turn-v3")
+def make_spec(task_id: int) -> TaskSpec:
+    scene = build_scene(
+        joints=[FixtureJoint(
+            kind=JointType.HINGE, axis=(0.0, 0.0, -1.0), anchor=(0.0, 0.0, 0.0),
+            arm=(0.0, -0.05, 0.07), range=(-0.2, 3.0), damping=1.5, inertia=0.08,
+            handle_radius=0.035,
+        )],
+        mocap_low=(-0.5, 0.40, 0.05),
+        mocap_high=(0.5, 1.0, 0.5),
+    )
+    return TaskSpec(
+        name="dial-turn-v3",
+        task_id=task_id,
+        scene=scene,
+        rand_low=np.array([-0.1, 0.7, 0.0]),
+        rand_high=np.array([0.1, 0.8, 0.0]),
+        hand_init_pos=np.array([0.0, 0.6, 0.2]),
+        goal_low=np.array([-0.1, 0.73, 0.0299]),
+        goal_high=np.array([0.1, 0.83, 0.0301]),
+        reset_fn=_reset,
+        reward_fn=_reward,
+        obs_fn=_obs,
+        n_obs_obj=1,
+    )

@@ -1,0 +1,100 @@
+"""door-close-v3: push the open door shut.
+
+Ref metaworld/envs/sawyer_door_close_v3.py: door at rand (x in [0,0.1],
+y in [0.85,0.95], 0.15), starts open; target = door_rand + (0.2,-0.2,0);
+v2 reward (:120-152): gaussian in_place + hand_in_place; success
+|handle - target| <= 0.08. Handle arc fitted from reference trajectories:
+pivot door + (-0.11,-0.026,0.1), open arm (-0.132,-0.33,0).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from metaworld_tpu.envs import registry
+from metaworld_tpu.envs.core import TaskSpec
+from metaworld_tpu.envs.scene_builder import FixtureJoint, build_scene
+from metaworld_tpu.envs.tasks import common
+from metaworld_tpu.physics import engine
+from metaworld_tpu.rewards import utils as reward_utils
+from metaworld_tpu.types import JointType
+
+_PIVOT = (-0.2288, 0.0, 0.0)
+_ARM = (-0.0634, -0.4757, 0.0)
+
+
+def _reset(spec: TaskSpec, rand, rng):
+    door = rand[:3]
+    target = door + jnp.array([0.2, -0.2, 0.0])
+    handle0 = door + jnp.asarray(_PIVOT) + jnp.asarray(_ARM)
+    return dict(
+        fixture_pos=door,
+        target=target,
+        obj_init_pos=common.pad_obj_pos(handle0),
+    )
+
+
+def _obs(spec: TaskSpec, state):
+    handle = engine.fixture_handle_pos(
+        spec.scene_device, state.sim.fixture_pos, state.sim.joint_q
+    )
+    quat = jnp.tile(jnp.array([0.691, -0.151, 0.691, 0.151]), (2, 1))
+    return handle, quat
+
+
+def _reward(spec: TaskSpec, state, obs, action):
+    target_radius = 0.05
+    tcp = state.sim.hand
+    obj = obs[4:7]
+    target = state.target
+    tcp_to_target = jnp.linalg.norm(tcp - target)
+    obj_to_target = jnp.linalg.norm(obj - target)
+    in_place_margin = jnp.linalg.norm(state.obj_init_pos[0] - target)
+    in_place = reward_utils.tolerance(
+        obj_to_target, bounds=(0, target_radius), margin=in_place_margin,
+        sigmoid="gaussian",
+    )
+    hand_margin = jnp.linalg.norm(state.hand_init - obj) + 0.1
+    hand_in_place = reward_utils.tolerance(
+        tcp_to_target, bounds=(0, 0.25 * target_radius), margin=hand_margin,
+        sigmoid="gaussian",
+    )
+    reward = 3.0 * hand_in_place + 6.0 * in_place
+    reward = jnp.where(obj_to_target < target_radius, 10.0, reward)
+    return common.eval_out(
+        reward=reward,
+        success=(obj_to_target <= 0.08).astype(jnp.float32),
+        near_object=tcp_to_target,
+        grasp_success=1.0,
+        grasp_reward=hand_in_place,
+        in_place_reward=in_place,
+        obj_to_target=obj_to_target,
+    )
+
+
+@registry.register("door-close-v3")
+def make_spec(task_id: int) -> TaskSpec:
+    scene = build_scene(
+        joints=[FixtureJoint(
+            kind=JointType.HINGE, axis=(0.0, 0.0, 1.0), anchor=_PIVOT, arm=_ARM,
+            range=(0.0, 1.6), damping=4.0, inertia=1.0, handle_radius=0.05,
+            panel=True,
+        )],
+        mocap_low=(-0.5, 0.40, 0.05),
+        mocap_high=(0.5, 1.0, 0.5),
+    )
+    return TaskSpec(
+        name="door-close-v3",
+        task_id=task_id,
+        scene=scene,
+        rand_low=np.array([0.0, 0.85, 0.15]),
+        rand_high=np.array([0.1, 0.95, 0.15]),
+        hand_init_pos=np.array([-0.5, 0.6, 0.2]),
+        goal_low=np.array([0.2, 0.65, 0.1499]),
+        goal_high=np.array([0.3, 0.75, 0.1501]),
+        reset_fn=_reset,
+        reward_fn=_reward,
+        obs_fn=_obs,
+        n_obs_obj=1,
+    )

@@ -1,0 +1,105 @@
+"""peg-insert-side-v3: grasp the peg and insert it sideways into the box hole.
+
+Ref metaworld/envs/sawyer_peg_insertion_side_v3.py: peg at rand xy in
+[0,0.2]x[0.5,0.7] (obs COM + (0.03,0,0.01)); box at goal rand in
+[-0.35,-0.25]x[0.4,0.7]; reject until |peg-box| >= 0.1; target = box +
+(0.03, 0, 0.13); v2 reward: pegHead (obj - (0.13,0,0)) scaled (1,2,2)
+in_place, caging radius 0.0075, pad 0.03, high_density, grasp override;
+success obj_to_target <= 0.07. (The reference's collision-box shaping term
+is approximated as 1.0 — it only reshapes reward inside the box mouth.)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from metaworld_tpu.envs import registry
+from metaworld_tpu.envs.core import TaskSpec, gripper_caging_reward, touching_main_object
+from metaworld_tpu.envs.scene_builder import FreeObj, build_scene
+from metaworld_tpu.envs.tasks import common
+from metaworld_tpu.rewards import utils as reward_utils
+
+_HEAD_OFF = (-0.13, 0.0, 0.0)
+
+
+def _reset(spec: TaskSpec, rand, rng):
+    def good(v):
+        return jnp.linalg.norm(v[:2] - v[3:5]) >= 0.1
+
+    rand = common.sample_until(good, rand, rng, spec.rand_low, spec.rand_high)
+    peg = jnp.array([rand[0] + 0.03, rand[1], 0.03])
+    box = rand[3:6]
+    target = box + jnp.array([0.03, 0.0, 0.13])
+    head0 = peg + jnp.asarray(_HEAD_OFF)
+    return dict(
+        obj_pos=common.pad_obj_pos(peg),
+        obj_init_pos=common.pad_obj_pos(peg),
+        target=target,
+        extras=common.extras_vec(head0[0], head0[1], head0[2]),
+    )
+
+
+def _reward(spec: TaskSpec, state, obs, action):
+    tcp = state.sim.hand
+    obj = obs[4:7]
+    obj_head = obj + jnp.asarray(_HEAD_OFF)
+    tcp_opened = obs[3]
+    target = state.target
+    tcp_to_obj = jnp.linalg.norm(obj - tcp)
+    scale = jnp.array([1.0, 2.0, 2.0])
+    obj_to_target = jnp.linalg.norm((obj_head - target) * scale)
+    head_init = state.extras[:3]
+    in_place_margin = jnp.linalg.norm((head_init - target) * scale)
+    in_place = reward_utils.tolerance(
+        obj_to_target, bounds=(0, 0.07), margin=in_place_margin,
+        sigmoid="long_tail",
+    )
+    object_grasped = gripper_caging_reward(
+        spec, state, action, obj,
+        object_reach_radius=0.01, obj_radius=0.0075,
+        pad_success_thresh=0.03, xz_thresh=0.005, high_density=True,
+    )
+    holding = (tcp_to_obj < 0.08) & (tcp_opened > 0) & (
+        obj[2] - 0.01 > state.obj_init_pos[0, 2]
+    )
+    object_grasped = jnp.where(holding, 1.0, object_grasped)
+    reward = reward_utils.hamacher_product(object_grasped, in_place)
+    reward = jnp.where(holding, reward + 1.0 + 5.0 * in_place, reward)
+    reward = jnp.where(obj_to_target <= 0.07, 10.0, reward)
+    return common.eval_out(
+        reward=reward,
+        success=(obj_to_target <= 0.07).astype(jnp.float32),
+        near_object=(tcp_to_obj <= 0.03).astype(jnp.float32),
+        grasp_success=(
+            touching_main_object(state)
+            & (tcp_opened > 0)
+            & (obj[2] - 0.02 > state.obj_init_pos[0, 2])
+        ).astype(jnp.float32),
+        grasp_reward=object_grasped,
+        in_place_reward=in_place,
+        obj_to_target=obj_to_target,
+    )
+
+
+@registry.register("peg-insert-side-v3")
+def make_spec(task_id: int) -> TaskSpec:
+    scene = build_scene(
+        objs=[FreeObj(radius=0.018, half_h=0.03, graspable=True,
+                      grasp_halfwidth=0.015)],
+        mocap_low=(-0.5, 0.40, 0.05),
+        mocap_high=(0.5, 1.0, 0.5),
+    )
+    return TaskSpec(
+        name="peg-insert-side-v3",
+        task_id=task_id,
+        scene=scene,
+        rand_low=np.array([0.0, 0.5, 0.02, -0.35, 0.4, -0.001]),
+        rand_high=np.array([0.2, 0.7, 0.02, -0.25, 0.7, 0.001]),
+        hand_init_pos=np.array([0.0, 0.6, 0.2]),
+        goal_low=np.array([-0.32, 0.4, 0.1289]),
+        goal_high=np.array([-0.22, 0.7, 0.1311]),
+        reset_fn=_reset,
+        reward_fn=_reward,
+        n_obs_obj=1,
+    )

@@ -184,14 +184,17 @@ def _gripper_substep(sim: SimState, effort, clamp_gap, dt):
     clamped_gap = jnp.maximum(new_gap, clamp_gap)
     binds = clamp_gap > new_gap
     squeeze = jnp.where(binds, jnp.maximum(_F_KP * (e - q_r_new), 0.0), 0.0)
-    new_vel = (clamped_gap - gap) / dt / GRIPPER_FULL_OPEN
+    # when the clamp binds the fingers are stopped by the object — zero the
+    # aperture velocity so a transient clamp doesn't inject a spike
+    new_vel = jnp.where(binds, 0.0, (clamped_gap - gap) / dt / GRIPPER_FULL_OPEN)
     return clamped_gap / GRIPPER_FULL_OPEN, new_vel, squeeze
 
 
 def _grasp_geometry(scene: SceneParams, sim: SimState, obj_pos):
-    """Per-object caging predicate: is the object between the pads, within
-    horizontal and vertical reach of the gripper?"""
-    rel = obj_pos - sim.hand  # (MAX_OBJ, 3)
+    """Per-object caging predicate: is the object's GRASP POINT (COM +
+    obj_grasp_off — the wrench/hammer handle, lid knob) between the pads,
+    within horizontal and vertical reach of the gripper?"""
+    rel = (obj_pos + scene.obj_grasp_off) - sim.hand  # (MAX_OBJ, 3)
     dx = jnp.abs(rel[:, 0])
     dy = jnp.abs(rel[:, 1])
     dz = rel[:, 2]
@@ -248,12 +251,14 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         attached = jnp.where(release, 0.0, attached)
         attached = attached * scene.obj_exists * scene.obj_graspable
 
-        # while attached: the object settles INTO the grip — xy centers between
-        # the pads, z slides UP toward the canonical grip point (tcp + 0.006)
-        # but never down (squeezing can only raise a gripped object)
+        # while attached: the object settles INTO the grip — its GRASP POINT
+        # (COM + obj_grasp_off) centers between the pads in xy and slides UP
+        # toward the canonical grip height (grasp point -> tcp + 0.006), never
+        # down (squeezing can only raise a gripped object)
         settle = 1.0 - jnp.exp(-dt / 0.05)
-        off_xy = attach_off[:, :2] * (1.0 - settle)
-        canon_z = 0.006
+        target_xy = -scene.obj_grasp_off[:, :2]
+        off_xy = target_xy + (attach_off[:, :2] - target_xy) * (1.0 - settle)
+        canon_z = 0.006 - scene.obj_grasp_off[:, 2]
         off_z = attach_off[:, 2]
         off_z = jnp.where(off_z < canon_z, off_z + (canon_z - off_z) * settle, off_z)
         settled = jnp.concatenate([off_xy, off_z[:, None]], axis=1)
@@ -337,7 +342,13 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         dist = jnp.linalg.norm(delta)
         r_sum = scene.obj_radius[0] + scene.obj_radius[1]
         pen = jnp.maximum(r_sum - dist, 0.0)
-        both = (scene.obj_exists[0] > 0) & (scene.obj_exists[1] > 0)
+        # in link scenes (stick-pull) the tool tip passes THROUGH the ring
+        # handle — no body contact, the hook link carries the interaction
+        both = (
+            (scene.obj_exists[0] > 0)
+            & (scene.obj_exists[1] > 0)
+            & (scene.link_enable == 0)
+        )
         n = delta / jnp.maximum(dist, 1e-9)
         # push the second object (first is usually the tool/grasped one)
         pos = pos.at[1].add(jnp.where(both & (sim.attached[1] == 0), -pen, 0.0) * n)
@@ -387,6 +398,19 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         att_pos = new_hand[None, :] + attach_off
         att_support = jax.vmap(lambda p: _support_z(scene, p[:2]))(att_pos)
         att_z = jnp.maximum(att_pos[:, 2], att_support + scene.obj_half_h)
+        # link prop: an inserted tool rests on the ring handle — the hand
+        # cannot drag it below (the grip slips instead)
+        tool_prev = sim.obj_pos[0] + scene.obj_tool_off[0]
+        handle_prev = sim.obj_pos[1] + scene.link_handle_off
+        linked_prev = (
+            (scene.link_enable > 0)
+            & (tool_prev[0] >= handle_prev[0])
+            & (jnp.abs(tool_prev[1] - handle_prev[1]) <= 0.045)
+            & (jnp.abs(tool_prev[2] - handle_prev[2]) <= 0.065)
+        )
+        att_z = att_z.at[0].set(
+            jnp.where(linked_prev, jnp.maximum(att_z[0], handle_prev[2] - 0.04), att_z[0])
+        )
         # grip slip: while the support pins a gripped object, the fingers
         # slide along it — the grip offset re-seats to the pinned position
         # (MuJoCo's friction grip does this implicitly). Without this, carry
@@ -410,12 +434,26 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             & (jnp.abs(tool_pt[1] - handle_pt[1]) <= 0.040)
             & (jnp.abs(tool_pt[2] - handle_pt[2]) <= 0.060)
         )
-        delta0 = (pos[0] - sim.obj_pos[0]) * jnp.array([1.0, 1.0, 0.0])
-        pos = pos.at[1].add(jnp.where(linked, 1.0, 0.0) * delta0)
+        # geometric hook: the ring is dragged only to keep the shaft inside
+        # its opening — the tip cap catches when the shaft would exit west
+        # (tool_x < handle_x) and the shaft walls give ~3cm lateral slack
+        dy_link = tool_pt[1] - handle_pt[1]
+        corr_link = jnp.stack([
+            jnp.minimum(tool_pt[0] - handle_pt[0], 0.0),
+            dy_link - jnp.clip(dy_link, -0.03, 0.03),
+            0.0,
+        ])
+        pos = pos.at[1].add(jnp.where(linked, 1.0, 0.0) * corr_link)
 
         # --- fixture mechanisms ---
         handle = fixture_handle_pos(scene, sim.fixture_pos, sim.joint_q)  # (MAX_JOINT,3)
         motion = fixture_motion_dir(scene, sim.fixture_pos, sim.joint_q)  # (MAX_JOINT,3)
+        # panel hinges (doors): press contacts act anywhere along the
+        # pivot->handle span, sampled at a few stations
+        pivot_w = sim.fixture_pos[None, :] + scene.joint_anchor
+        panel_pts = [
+            pivot_w + frac * (handle - pivot_w) for frac in (0.45, 0.65, 0.85)
+        ]
 
         # hook: gripper closes near a hookable handle -> joint follows hand
         tcp_mid = new_hand + jnp.array([0.0, 0.0, PAD_Z_OFFSET * 0.6])
@@ -463,6 +501,23 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         for i in range(pos.shape[0]):
             tool_i = pos[i] + scene.obj_tool_off[i]
             press_force = press_force + scene.obj_exists[i] * sphere_part(tool_i, 0.02)
+
+        # panel stations: hand parts press the door face anywhere on the span
+        def panel_part(center, r_part, station):
+            delta_h = station - center[None, :]
+            dist_h = jnp.linalg.norm(delta_h, axis=1)
+            pen_h = jnp.maximum(scene.joint_handle_radius + r_part - dist_h, 0.0)
+            n_h = delta_h / jnp.maximum(dist_h, 1e-9)[:, None]
+            return jnp.sum(pen_h[:, None] * n_h * 4000.0 * motion, axis=1)
+
+        panel_force = jnp.zeros_like(press_force)
+        for station in panel_pts:
+            panel_force = (
+                panel_force
+                + panel_part(new_hand, 0.012, station)
+                + panel_part(knuckle, 0.032, station)
+            )
+        press_force = press_force + scene.joint_panel * panel_force
 
         # generalized dynamics
         q, qv = sim.joint_q, sim.joint_v

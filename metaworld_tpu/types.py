@@ -86,6 +86,8 @@ class SceneParams:
     obj_tool_off: jnp.ndarray    # (MAX_OBJ, 3) tool point rel. COM (hammer head,
                                  # stick tip) — contacts fixture handles and drives
                                  # the object-object link
+    obj_grasp_off: jnp.ndarray   # (MAX_OBJ, 3) grasp point rel. COM (wrench/hammer
+                                 # handles, lid knob)
     link_enable: jnp.ndarray     # () 0/1 — obj0's tool point can hook obj1
     link_handle_off: jnp.ndarray # (3,) hook point rel. obj1 COM
 
@@ -103,6 +105,8 @@ class SceneParams:
     joint_bias: jnp.ndarray      # (MAX_JOINT,) constant generalized force (gravity on vertical slides)
     joint_handle_radius: jnp.ndarray  # (MAX_JOINT,) contact radius of the handle
     joint_hookable: jnp.ndarray  # (MAX_JOINT,) 0/1 — gripper can close around handle and pull
+    joint_panel: jnp.ndarray     # (MAX_JOINT,) 0/1 — hinge carries a panel: press
+                                 # contacts act along the pivot->handle span (doors)
 
     # --- static collision boxes (walls, bins, shelves), rel. fixture base when flagged ---
     static_exists: jnp.ndarray   # (MAX_STATIC,) 0/1
