@@ -20,8 +20,8 @@ from metaworld_tpu.envs.tasks.button_press_v3 import _BTN_OFF, _TARGET_OFF_Y, _o
 from metaworld_tpu.rewards import utils as reward_utils
 from metaworld_tpu.types import JointType
 
-_OBJ_LOW = (-0.1, 0.85, 0.115)
-_OBJ_HIGH = (0.1, 0.9, 0.115)
+_OBJ_LOW = (-0.05, 0.85, 0.1149)
+_OBJ_HIGH = (0.05, 0.9, 0.1151)
 
 
 def _reset(spec: TaskSpec, rand, rng):

@@ -118,11 +118,11 @@ def make_spec(task_id: int) -> TaskSpec:
         name="stick-pull-v3",
         task_id=task_id,
         scene=stick_scene(link=True),
-        rand_low=np.array([-0.08, 0.58, 0.0, 0.35, 0.4, 0.0199]),
-        rand_high=np.array([-0.03, 0.62, 0.001, 0.45, 0.5, 0.0201]),
+        rand_low=np.array([-0.1, 0.55, 0.0, 0.35, 0.45, 0.0199]),
+        rand_high=np.array([0.0, 0.65, 0.001, 0.45, 0.55, 0.0201]),
         hand_init_pos=np.array([0.0, 0.6, 0.2]),
-        goal_low=np.array([0.35, 0.4, 0.0199]),
-        goal_high=np.array([0.45, 0.5, 0.0201]),
+        goal_low=np.array([0.35, 0.45, 0.0199]),
+        goal_high=np.array([0.45, 0.55, 0.0201]),
         reset_fn=_reset,
         reward_fn=_reward,
         obs_fn=thermos_obs,

@@ -1,0 +1,240 @@
+"""Lockstep vectorized engine — the TPU replacement for Gymnasium's
+Sync/AsyncVectorEnv (ref metaworld/__init__.py:481-483: per-env python loops
+or one OS process per env with pipe IPC).
+
+Here the whole benchmark batch is a single pytree stepped by one jitted
+function: envs are grouped by task (task assignment per slot is static, as in
+the reference where each sub-env owns one task), each group is vmapped, and
+group results are concatenated. Autoreset happens in-graph with
+Gymnasium-style NEXT_STEP semantics: a finished env returns its final
+observation, and the next step() call resets it (action ignored), sampling a
+fresh goal row from the device-resident goal table (the functional equivalent
+of RandomTaskSelectWrapper, ref wrappers.py:91-143).
+
+The batch axis is shard-ready: state and actions are plain pytrees, so
+`jax.sharding`/`shard_map` can partition env slots across chips and hosts
+(see metaworld_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from metaworld_tpu.envs.core import TaskSpec, env_reset, env_step
+from metaworld_tpu.types import MAX_PATH_LENGTH, MAX_RAND, StepOut
+
+
+def _tree_select(mask, a, b):
+    """Per-env select between two batched pytrees (mask: (n,) bool)."""
+
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+@struct.dataclass
+class GroupState:
+    env: object          # EnvState, batched (n, ...)
+    key: jnp.ndarray     # (n, 2) per-slot PRNG keys
+    pending_reset: jnp.ndarray   # (n,) bool — reset on the next step call
+    episode_return: jnp.ndarray  # (n,)
+    episode_length: jnp.ndarray  # (n,) int32
+
+
+@struct.dataclass
+class VectorState:
+    groups: tuple        # tuple[GroupState, ...]
+
+
+class BatchedEnvs:
+    """A fixed batch of envs: `counts[i]` slots running `specs[i]`.
+
+    All methods are pure; `reset`/`step` are jitted once per instance.
+    """
+
+    def __init__(
+        self,
+        specs: Sequence[TaskSpec],
+        counts: Sequence[int],
+        goal_tables: Sequence[np.ndarray],
+        goal_visible: Sequence[bool] | bool = True,
+        one_hot: bool = False,
+        num_tasks: int | None = None,
+        task_indices: Sequence[int] | None = None,
+        terminate_on_success: bool = False,
+        max_episode_steps: int = MAX_PATH_LENGTH,
+        autoreset: bool = True,
+    ):
+        assert len(specs) == len(counts) == len(goal_tables)
+        self.specs = list(specs)
+        self.counts = list(counts)
+        self.num_envs = int(sum(counts))
+        if isinstance(goal_visible, bool):
+            goal_visible = [goal_visible] * len(specs)
+        self.goal_visible = [float(v) for v in goal_visible]
+        self.goal_tables = [jnp.asarray(t) for t in goal_tables]
+        self.terminate_on_success = terminate_on_success
+        self.max_episode_steps = int(max_episode_steps)
+        self.autoreset = autoreset
+
+        # one-hot task id block (ref OneHotWrapper, wrappers.py:14-32)
+        self.one_hot = one_hot
+        if one_hot:
+            n = num_tasks if num_tasks is not None else len(specs)
+            idx = task_indices if task_indices is not None else range(len(specs))
+            rows = []
+            for i, c in zip(idx, counts):
+                oh = np.zeros((c, n), dtype=np.float32)
+                oh[:, i] = 1.0
+                rows.append(oh)
+            self._one_hot_block = jnp.asarray(np.concatenate(rows, axis=0))
+            self.obs_dim = 39 + n
+        else:
+            self._one_hot_block = None
+            self.obs_dim = 39
+
+        self._reset_jit = jax.jit(self._reset_impl)
+        self._step_jit = jax.jit(self._step_impl)
+
+    @property
+    def task_names(self) -> list[str]:
+        return [s.name for s in self.specs]
+
+    def env_task_names(self) -> list[str]:
+        out = []
+        for s, c in zip(self.specs, self.counts):
+            out.extend([s.name] * c)
+        return out
+
+    # ------------------------------------------------------------------
+    def _sample_goal(self, spec_i: int, key):
+        table = self.goal_tables[spec_i]
+        idx = jax.random.randint(key, (), 0, table.shape[0])
+        return table[idx]
+
+    def _reset_one(self, spec_i: int, key):
+        spec = self.specs[spec_i]
+        k_goal, k_env, k_next = jax.random.split(key, 3)
+        rand_vec = self._sample_goal(spec_i, k_goal)
+        state, obs = env_reset(spec, rand_vec, k_env, self.goal_visible[spec_i])
+        return state, obs, k_next
+
+    def _reset_impl(self, key):
+        groups = []
+        all_obs = []
+        for i, (spec, count) in enumerate(zip(self.specs, self.counts)):
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, count)
+            state, obs, nkeys = jax.vmap(functools.partial(self._reset_one, i))(keys)
+            groups.append(
+                GroupState(
+                    env=state,
+                    key=nkeys,
+                    pending_reset=jnp.zeros(count, dtype=bool),
+                    episode_return=jnp.zeros(count),
+                    episode_length=jnp.zeros(count, dtype=jnp.int32),
+                )
+            )
+            all_obs.append(obs)
+        obs = jnp.concatenate(all_obs, axis=0)
+        return VectorState(groups=tuple(groups)), self._augment(obs)
+
+    def _augment(self, obs):
+        if self._one_hot_block is not None:
+            return jnp.concatenate([obs, self._one_hot_block], axis=1)
+        return obs
+
+    def _step_impl(self, vstate: VectorState, actions):
+        new_groups = []
+        outs = {k: [] for k in (
+            "obs", "reward", "terminated", "truncated", "success",
+            "near_object", "grasp_success", "grasp_reward", "in_place_reward",
+            "obj_to_target", "unscaled_reward", "episode_return",
+            "episode_length", "done",
+        )}
+        start = 0
+        for i, (spec, count) in enumerate(zip(self.specs, self.counts)):
+            g = vstate.groups[i]
+            act = jax.lax.dynamic_slice_in_dim(actions, start, count, axis=0)
+            start += count
+
+            stepped_env, out = jax.vmap(functools.partial(env_step, spec))(g.env, act)
+            truncated = out.truncated | (
+                stepped_env.path_length >= self.max_episode_steps
+            )
+            terminated = out.terminated
+            if self.terminate_on_success:
+                terminated = terminated | (out.success > 0)
+
+            # fresh resets for slots flagged last step (NEXT_STEP autoreset)
+            rstate, robs, rkeys = jax.vmap(functools.partial(self._reset_one, i))(g.key)
+
+            if self.autoreset:
+                env2 = _tree_select(g.pending_reset, rstate, stepped_env)
+                obs2 = jnp.where(g.pending_reset[:, None], robs, out.obs)
+                key2 = jnp.where(g.pending_reset[:, None], rkeys, g.key)
+                reward2 = jnp.where(g.pending_reset, 0.0, out.reward)
+                terminated = jnp.where(g.pending_reset, False, terminated)
+                truncated2 = jnp.where(g.pending_reset, False, truncated)
+            else:
+                env2, obs2, key2 = stepped_env, out.obs, g.key
+                reward2, truncated2 = out.reward, truncated
+
+            done = terminated | truncated2
+            ep_ret = jnp.where(g.pending_reset, 0.0, g.episode_return) + reward2
+            ep_len = jnp.where(g.pending_reset, 0, g.episode_length) + 1
+
+            new_groups.append(
+                GroupState(
+                    env=env2,
+                    key=key2,
+                    pending_reset=done if self.autoreset else jnp.zeros_like(done),
+                    episode_return=ep_ret,
+                    episode_length=ep_len,
+                )
+            )
+            outs["obs"].append(obs2)
+            outs["reward"].append(reward2)
+            outs["terminated"].append(terminated)
+            outs["truncated"].append(truncated2)
+            outs["done"].append(done)
+            outs["episode_return"].append(ep_ret)
+            outs["episode_length"].append(ep_len)
+            for k in ("success", "near_object", "grasp_success", "grasp_reward",
+                      "in_place_reward", "obj_to_target", "unscaled_reward"):
+                outs[k].append(getattr(out, k))
+
+        cat = {k: jnp.concatenate(v, axis=0) for k, v in outs.items()}
+        cat["obs"] = self._augment(cat["obs"])
+        return VectorState(groups=tuple(new_groups)), cat
+
+    # ------------------------------------------------------------------
+    def reset(self, key):
+        return self._reset_jit(key)
+
+    def step(self, vstate, actions):
+        return self._step_jit(vstate, actions)
+
+
+def from_benchmark(bench, split: str = "train", envs_per_task: int = 1,
+                   **kwargs) -> BatchedEnvs:
+    """Build a batch from a Benchmark: `envs_per_task` slots per env class,
+    goals drawn from that env's goal table (the reference's one-sub-env-per-
+    task vector layout, ref make_mt_envs __init__.py:460-513)."""
+    classes = bench.train_classes if split == "train" else bench.test_classes
+    tasks = bench.train_tasks if split == "train" else bench.test_tasks
+    names = list(classes.keys())
+    specs = [classes[n] for n in names]
+    counts = [envs_per_task] * len(names)
+    tables = [bench.goal_table(n, split) for n in names]
+    visible = [not any(t.partially_observable for t in tasks if t.env_name == n)
+               for n in names]
+    return BatchedEnvs(specs, counts, tables, goal_visible=visible, **kwargs)
