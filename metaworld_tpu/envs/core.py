@@ -156,7 +156,13 @@ def env_step(spec: TaskSpec, state: EnvState, action: jnp.ndarray):
     sim = engine.control_step(spec.scene_device, state.sim, action)
     path_length = state.path_length + 1
     state = state.replace(sim=sim, path_length=path_length)
+    return post_step(spec, state, action)
 
+
+def post_step(spec: TaskSpec, state: EnvState, action: jnp.ndarray):
+    """Observation assembly + reward after the physics step — the per-task
+    half of env_step, so a fused multi-task batch can run one shared physics
+    call and lax.switch only this part."""
     curr = curr_obs18(spec, state)
     obs = assemble_obs(spec, state, curr)
     lo_v, hi_v = spec.obs_clip_visible
@@ -167,7 +173,7 @@ def env_step(spec: TaskSpec, state: EnvState, action: jnp.ndarray):
     state = state.replace(prev_obs=curr)
 
     out = spec.reward_fn(spec, state, obs, action)
-    truncated = path_length >= MAX_PATH_LENGTH
+    truncated = state.path_length >= MAX_PATH_LENGTH
     step = StepOut(
         obs=obs,
         reward=out.reward,

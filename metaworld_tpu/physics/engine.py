@@ -128,8 +128,10 @@ def _sphere_box_pushout(p, r, box_pos, box_size):
     inside = dist < 1e-9
     depth = box_size - jnp.abs(d) + r
     axis = jnp.argmin(depth)
-    n_in = jnp.zeros(3).at[axis].set(jnp.sign(d[axis]) + (d[axis] == 0.0))
-    pen_in = depth[axis]
+    hot = (jnp.arange(3) == axis).astype(d.dtype)
+    d_axis = jnp.sum(hot * d)
+    n_in = hot * (jnp.sign(d_axis) + (d_axis == 0.0))
+    pen_in = jnp.sum(hot * depth)
     n = jnp.where(inside, n_in, n_out)
     pen = jnp.where(inside, pen_in, pen_out)
     return n * pen, n, pen
@@ -298,8 +300,10 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 pen_box = (pad_half + obj_half) - jnp.abs(d)
                 hit_box = jnp.all(pen_box > 0.0)
                 axis = jnp.argmin(pen_box)
-                n_box = jnp.zeros(3).at[axis].set(jnp.where(d[axis] >= 0, 1.0, -1.0))
-                depth_box = jnp.where(hit_box, pen_box[axis], 0.0)
+                hot = (jnp.arange(3) == axis).astype(d.dtype)
+                d_axis = jnp.sum(hot * d)
+                n_box = hot * jnp.where(d_axis >= 0, 1.0, -1.0)
+                depth_box = jnp.where(hit_box, jnp.sum(hot * pen_box), 0.0)
 
                 _, n_sph, pen_sph = _sphere_box_pushout(p, radius, kin_c, pad_half)
                 is_sphere = otype == ObjType.SPHERE
@@ -351,11 +355,12 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         )
         n = delta / jnp.maximum(dist, 1e-9)
         # push the second object (first is usually the tool/grasped one)
-        pos = pos.at[1].add(jnp.where(both & (sim.attached[1] == 0), -pen, 0.0) * n)
+        row1 = jnp.array([[0.0], [1.0]])
+        pos = pos + row1 * (jnp.where(both & (sim.attached[1] == 0), -pen, 0.0) * n)[None, :]
         v_n = jnp.dot(vel[0] - vel[1], n)
-        vel = vel.at[1].add(
+        vel = vel + row1 * (
             jnp.where(both & (pen > 0) & (v_n > 0) & (sim.attached[1] == 0), v_n, 0.0) * n
-        )
+        )[None, :]
 
         # static boxes (walls, bins, shelves, pegs)
         box_pos, box_size = _static_boxes_world(scene, sim.fixture_pos)
@@ -376,16 +381,20 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         vel = jnp.where(hit_box, vel - corr_n * v_into, vel)
 
         # ground / pit support
+        _EZ = jnp.array([0.0, 0.0, 1.0])
+        _EXY = jnp.array([1.0, 1.0, 0.0])
+
         def ground_one(p, v, half_h, fric):
             sz = _support_z(scene, p[:2])
             below = p[2] - half_h < sz
-            p = p.at[2].set(jnp.where(below, sz + half_h, p[2]))
-            v = v.at[2].set(jnp.where(below & (v[2] < 0.0), 0.0, v[2]))
+            p = p + _EZ * jnp.where(below, sz + half_h - p[2], 0.0)
+            vz_new = jnp.where(below & (v[2] < 0.0), 0.0, v[2])
             # Coulomb friction on the tangential velocity while supported
             speed = jnp.linalg.norm(v[:2])
             dec = fric * _GRAVITY * dt
             scale = jnp.where(speed > 1e-9, jnp.maximum(speed - dec, 0.0) / jnp.maximum(speed, 1e-9), 0.0)
-            v = v.at[:2].set(jnp.where(below, v[:2] * scale, v[:2]))
+            xy_scale = jnp.where(below, scale, 1.0)
+            v = v * (_EXY * xy_scale) + _EZ * vz_new
             return p, v
 
         frics = jnp.full((pos.shape[0],), _FRICTION_DEFAULT)
@@ -408,18 +417,19 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             & (jnp.abs(tool_prev[1] - handle_prev[1]) <= 0.045)
             & (jnp.abs(tool_prev[2] - handle_prev[2]) <= 0.065)
         )
-        att_z = att_z.at[0].set(
-            jnp.where(linked_prev, jnp.maximum(att_z[0], handle_prev[2] - 0.04), att_z[0])
+        e0 = jnp.array([1.0, 0.0])
+        att_z = att_z + e0 * jnp.where(
+            linked_prev, jnp.maximum(att_z[0], handle_prev[2] - 0.04) - att_z[0], 0.0
         )
         # grip slip: while the support pins a gripped object, the fingers
         # slide along it — the grip offset re-seats to the pinned position
         # (MuJoCo's friction grip does this implicitly). Without this, carry
         # policies deadlock at hover/descend branch boundaries.
         pinned = (attached > 0) & (att_pos[:, 2] < att_z - 1e-9)
-        attach_off = attach_off.at[:, 2].set(
-            jnp.where(pinned, att_z - new_hand[2], attach_off[:, 2])
-        )
-        att_pos = att_pos.at[:, 2].set(att_z)
+        ezc = jnp.array([0.0, 0.0, 1.0])[None, :]
+        off_z_new = jnp.where(pinned, att_z - new_hand[2], attach_off[:, 2])
+        attach_off = attach_off * (1.0 - ezc) + ezc * off_z_new[:, None]
+        att_pos = att_pos * (1.0 - ezc) + ezc * att_z[:, None]
         pos = jnp.where((attached > 0)[:, None], att_pos, pos)
         vel = jnp.where((attached > 0)[:, None], hand_vel[None, :], vel)
 
@@ -443,7 +453,9 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             dy_link - jnp.clip(dy_link, -0.03, 0.03),
             0.0,
         ])
-        pos = pos.at[1].add(jnp.where(linked, 1.0, 0.0) * corr_link)
+        pos = pos + jnp.array([[0.0], [1.0]]) * (
+            jnp.where(linked, 1.0, 0.0) * corr_link
+        )[None, :]
 
         # --- fixture mechanisms ---
         handle = fixture_handle_pos(scene, sim.fixture_pos, sim.joint_q)  # (MAX_JOINT,3)

@@ -224,8 +224,152 @@ class BatchedEnvs:
         return self._step_jit(vstate, actions)
 
 
+@struct.dataclass
+class FusedState:
+    env: object                  # EnvState, batched over the FULL batch
+    key: jnp.ndarray             # (n, 2)
+    pending_reset: jnp.ndarray   # (n,)
+    episode_return: jnp.ndarray  # (n,)
+    episode_length: jnp.ndarray  # (n,) int32
+
+
+class FusedBatchedEnvs(BatchedEnvs):
+    """Single-vmap variant: physics for ALL tasks runs as one full-width
+    kernel over per-slot scene rows (scenes-as-data); only the cheap per-task
+    observation/reward tail runs per task group. Autoreset work is gated
+    behind a batch-level lax.cond, so its cost is paid only on the ~1/500
+    steps where some episode actually ended."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # per-slot scene rows: gather each spec's scene for its slots
+        rows = []
+        for spec, count in zip(self.specs, self.counts):
+            row = jax.tree.map(lambda x: np.broadcast_to(np.asarray(x),
+                                                         (count,) + np.shape(x)),
+                               spec.scene)
+            rows.append(row)
+        self._scene_slots = jax.tree.map(
+            lambda *xs: jnp.asarray(np.concatenate(xs, axis=0)), *rows
+        )
+        self._offsets = np.cumsum([0] + list(self.counts))
+
+    def _slice(self, tree, i):
+        a, b = int(self._offsets[i]), int(self._offsets[i + 1])
+        return jax.tree.map(lambda x: x[a:b], tree)
+
+    def _reset_all(self, keys):
+        """Per-slot resets (grouped per task), concatenated."""
+        states, obss, nkeys = [], [], []
+        for i in range(len(self.specs)):
+            a, b = int(self._offsets[i]), int(self._offsets[i + 1])
+            s, o, k = jax.vmap(functools.partial(self._reset_one, i))(keys[a:b])
+            states.append(s)
+            obss.append(o)
+            nkeys.append(k)
+        env = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *states)
+        return env, jnp.concatenate(obss, axis=0), jnp.concatenate(nkeys, axis=0)
+
+    def _reset_impl(self, key):
+        # same per-group key derivation as the grouped engine so both
+        # variants sample identical goals from the same seed
+        parts = []
+        for count in self.counts:
+            key, sub = jax.random.split(key)
+            parts.append(jax.random.split(sub, count))
+        keys = jnp.concatenate(parts, axis=0)
+        env, obs, nkeys = self._reset_all(keys)
+        n = self.num_envs
+        state = FusedState(
+            env=env,
+            key=nkeys,
+            pending_reset=jnp.zeros(n, dtype=bool),
+            episode_return=jnp.zeros(n),
+            episode_length=jnp.zeros(n, dtype=jnp.int32),
+        )
+        return state, self._augment(obs)
+
+    def _step_impl(self, vstate: FusedState, actions):
+        from metaworld_tpu.envs.core import post_step
+        from metaworld_tpu.physics import engine
+
+        env = vstate.env
+        # full-width physics over per-slot scene rows
+        sim = jax.vmap(engine.control_step)(self._scene_slots, env.sim, actions)
+        env = env.replace(sim=sim, path_length=env.path_length + 1)
+
+        # per-task obs/reward tails
+        obss, outs = [], []
+        for i, spec in enumerate(self.specs):
+            st_i = self._slice(env, i)
+            act_i = self._slice(actions, i)
+            st2, out = jax.vmap(functools.partial(post_step, spec))(st_i, act_i)
+            obss.append((st2, out))
+        env = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[s for s, _ in obss]
+        )
+        out = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *[o for _, o in obss]
+        )
+
+        truncated = out.truncated | (env.path_length >= self.max_episode_steps)
+        terminated = out.terminated
+        if self.terminate_on_success:
+            terminated = terminated | (out.success > 0)
+
+        pending = vstate.pending_reset
+
+        def with_resets(operand):
+            env, obs, keys = operand
+            renv, robs, rkeys = self._reset_all(keys)
+            env2 = _tree_select(pending, renv, env)
+            obs2 = jnp.where(pending[:, None], robs, obs)
+            keys2 = jnp.where(pending[:, None], rkeys, keys)
+            return env2, obs2, keys2
+
+        if self.autoreset:
+            env, obs, keys = jax.lax.cond(
+                pending.any(), with_resets, lambda op: op,
+                (env, out.obs, vstate.key),
+            )
+            reward = jnp.where(pending, 0.0, out.reward)
+            terminated = jnp.where(pending, False, terminated)
+            truncated = jnp.where(pending, False, truncated)
+        else:
+            obs, keys, reward = out.obs, vstate.key, out.reward
+
+        done = terminated | truncated
+        ep_ret = jnp.where(pending, 0.0, vstate.episode_return) + reward
+        ep_len = jnp.where(pending, 0, vstate.episode_length) + 1
+
+        new_state = FusedState(
+            env=env,
+            key=keys,
+            pending_reset=done if self.autoreset else jnp.zeros_like(done),
+            episode_return=ep_ret,
+            episode_length=ep_len,
+        )
+        cat = {
+            "obs": self._augment(obs),
+            "reward": reward,
+            "terminated": terminated,
+            "truncated": truncated,
+            "done": done,
+            "episode_return": ep_ret,
+            "episode_length": ep_len,
+            "success": out.success,
+            "near_object": out.near_object,
+            "grasp_success": out.grasp_success,
+            "grasp_reward": out.grasp_reward,
+            "in_place_reward": out.in_place_reward,
+            "obj_to_target": out.obj_to_target,
+            "unscaled_reward": out.unscaled_reward,
+        }
+        return new_state, cat
+
+
 def from_benchmark(bench, split: str = "train", envs_per_task: int = 1,
-                   **kwargs) -> BatchedEnvs:
+                   fused: bool = True, **kwargs) -> BatchedEnvs:
     """Build a batch from a Benchmark: `envs_per_task` slots per env class,
     goals drawn from that env's goal table (the reference's one-sub-env-per-
     task vector layout, ref make_mt_envs __init__.py:460-513)."""
@@ -237,4 +381,5 @@ def from_benchmark(bench, split: str = "train", envs_per_task: int = 1,
     tables = [bench.goal_table(n, split) for n in names]
     visible = [not any(t.partially_observable for t in tasks if t.env_name == n)
                for n in names]
-    return BatchedEnvs(specs, counts, tables, goal_visible=visible, **kwargs)
+    cls = FusedBatchedEnvs if fused else BatchedEnvs
+    return cls(specs, counts, tables, goal_visible=visible, **kwargs)
