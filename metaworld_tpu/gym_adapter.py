@@ -1,0 +1,229 @@
+"""Gymnasium-compatible adapter + public env factories.
+
+Gives users of the reference the same surface (ref metaworld/__init__.py:
+460-823): `make_mt_envs`, `make_ml_envs{,_train,_test}`, `register_mw_envs`
+(gym.make("Meta-World/MT1") etc.), plus single-env `SawyerEnv` with the
+reference's step/reset/set_task API. Under the hood everything calls the
+jitted functional core; the adapter only shuttles numpy at the boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metaworld_tpu import benchmarks
+from metaworld_tpu.envs import registry
+from metaworld_tpu.envs.core import env_reset, env_step
+from metaworld_tpu.types import MAX_PATH_LENGTH, MAX_RAND, info_dict
+
+try:
+    import gymnasium as gym
+    from gymnasium.spaces import Box
+
+    _HAS_GYM = True
+except Exception:  # pragma: no cover
+    _HAS_GYM = False
+
+
+class SawyerEnv(gym.Env if _HAS_GYM else object):
+    """Single-env Gymnasium API over the jitted core (the compatibility shim
+    for parity testing against the reference; training should use
+    metaworld_tpu.vector instead).
+
+    Matches ref SawyerXYZEnv semantics: 4-dim action, 39-dim obs, set_task
+    required before step, truncation at 500 steps.
+    """
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 80}
+
+    def __init__(self, env_name: str, seed: int | None = None,
+                 render_mode: str | None = None,
+                 reward_function_version: str = "v2", **_ignored):
+        assert reward_function_version == "v2", (
+            "only the v2 reward family is implemented"
+        )
+        self.env_name = env_name
+        self.task_name = env_name
+        self.spec_ = registry.get_spec(env_name)
+        self.render_mode = render_mode
+        self.max_path_length = MAX_PATH_LENGTH
+
+        self._step_jit = jax.jit(functools.partial(env_step, self.spec_))
+        self._reset_jit = jax.jit(functools.partial(env_reset, self.spec_))
+
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed if seed is not None else 0)
+        self._task_vec: np.ndarray | None = None
+        self._goal_visible = 1.0
+        self._state = None
+        self._set_task_called = False
+        self.seeded_rand_vec = seed is not None
+
+        if _HAS_GYM:
+            self.action_space = Box(-np.ones(4, np.float32),
+                                    np.ones(4, np.float32))
+            from metaworld_tpu.envs.core import obs_bounds
+
+            lo, hi = obs_bounds(self.spec_, True)
+            self.observation_space = Box(lo.astype(np.float64),
+                                         hi.astype(np.float64))
+
+    # -- reference API ---------------------------------------------------
+    def seed(self, seed: int):
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self.seeded_rand_vec = True
+        return [seed]
+
+    def set_task(self, task: benchmarks.Task) -> None:
+        assert task.env_name == self.env_name
+        self._task_vec = np.asarray(task.rand_vec)
+        self._goal_visible = 0.0 if task.partially_observable else 1.0
+        self._set_task_called = True
+
+    def _sample_vec(self) -> np.ndarray:
+        return self._rng.uniform(self.spec_.rand_low, self.spec_.rand_high)
+
+    def reset(self, seed: int | None = None, options=None):
+        if seed is not None:
+            self.seed(seed)
+        vec = self._task_vec if self._task_vec is not None else self._sample_vec()
+        padded = np.zeros(MAX_RAND)
+        padded[: vec.shape[0]] = vec
+        self._key, sub = jax.random.split(self._key)
+        self._state, obs = self._reset_jit(jnp.asarray(padded), sub,
+                                           self._goal_visible)
+        self.curr_path_length = 0
+        return np.asarray(obs, dtype=np.float64), {}
+
+    def step(self, action):
+        if not self._set_task_called and self._task_vec is None \
+                and not self.seeded_rand_vec:
+            raise RuntimeError("You must call env.set_task or seed the env "
+                               "before stepping (ref sawyer_xyz_env.py:161-173)")
+        assert self._state is not None, "call reset() first"
+        if self.curr_path_length >= self.max_path_length:
+            raise ValueError("You must reset the env manually once truncate==True")
+        self._state, out = self._step_jit(self._state, jnp.asarray(action))
+        self.curr_path_length += 1
+        info = {k: float(np.asarray(v)) for k, v in info_dict(out).items()}
+        return (
+            np.asarray(out.obs, dtype=np.float64),
+            float(out.reward),
+            bool(out.terminated),
+            bool(out.truncated),
+            info,
+        )
+
+    def render(self):
+        from metaworld_tpu.render import render_state
+
+        return render_state(self.spec_, self._state)
+
+
+# ---------------------------------------------------------------------------
+# goal-hidden / goal-observable factories (ref env_dict.py:130-212)
+# ---------------------------------------------------------------------------
+
+
+def make_goal_hidden(env_name: str, seed: int | None = None) -> SawyerEnv:
+    """Env whose goal is hidden from the observation and frozen per reset
+    seed (ref _create_hidden_goal_envs)."""
+    env = SawyerEnv(env_name, seed=seed)
+    env._goal_visible = 0.0
+    return env
+
+
+def make_goal_observable(env_name: str, seed: int | None = None) -> SawyerEnv:
+    """(ref _create_observable_goal_envs)"""
+    env = SawyerEnv(env_name, seed=seed)
+    env._goal_visible = 1.0
+    return env
+
+
+# ---------------------------------------------------------------------------
+# vector factories (ref metaworld/__init__.py:460-604)
+# ---------------------------------------------------------------------------
+
+
+def make_mt_envs(name: str, seed: int | None = None, num_goals: int = 50,
+                 envs_per_task: int = 1, use_one_hot: bool = False,
+                 terminate_on_success: bool = False,
+                 max_episode_steps: int = MAX_PATH_LENGTH, **kwargs):
+    """MT benchmark batch (ref make_mt_envs :460-513). `name` is an env name
+    (-> MT1) or one of MT10/MT25/MT50."""
+    from metaworld_tpu import vector
+
+    if name in ("MT10", "MT25", "MT50"):
+        bench = getattr(benchmarks, name)(seed=seed)
+    else:
+        bench = benchmarks.MT1(name, seed=seed)
+    return vector.from_benchmark(
+        bench,
+        envs_per_task=envs_per_task,
+        one_hot=use_one_hot,
+        terminate_on_success=terminate_on_success,
+        max_episode_steps=max_episode_steps,
+        **kwargs,
+    )
+
+
+def make_ml_envs(name: str, seed: int | None = None,
+                 meta_batch_size: int = 20, split: str = "train", **kwargs):
+    """ML benchmark batch (ref make_ml_envs :565-593): `meta_batch_size` env
+    slots striped over the split's envs (ref task striping :540)."""
+    from metaworld_tpu import vector
+
+    if name in ("ML10", "ML25", "ML45"):
+        bench = getattr(benchmarks, name)(seed=seed)
+    else:
+        bench = benchmarks.ML1(name, seed=seed)
+    classes = bench.train_classes if split == "train" else bench.test_classes
+    n_envs = len(classes)
+    assert meta_batch_size % n_envs == 0, (
+        "meta_batch_size must be divisible by the number of envs "
+        "(ref __init__.py:518-524)"
+    )
+    return vector.from_benchmark(
+        bench, split=split, envs_per_task=meta_batch_size // n_envs, **kwargs
+    )
+
+
+make_ml_envs_train = functools.partial(make_ml_envs, split="train")
+make_ml_envs_test = functools.partial(make_ml_envs, split="test")
+
+
+def register_mw_envs() -> None:
+    """Registers the reference's Gymnasium IDs (ref register_mw_envs
+    :607-823): Meta-World/MT1, Meta-World/goal_hidden, Meta-World/goal_observable
+    for single envs via gym.make; the MT/ML batches are exposed as factories
+    because they are jitted batch engines, not per-process python envs."""
+    if not _HAS_GYM:
+        return
+    from gymnasium.envs.registration import register, registry as gym_registry
+
+    if "Meta-World/MT1" in gym_registry:
+        return
+    register(
+        id="Meta-World/MT1",
+        entry_point=lambda env_name, seed=None, **kw: SawyerEnv(
+            env_name, seed=seed, **kw
+        ),
+    )
+    register(
+        id="Meta-World/goal_hidden",
+        entry_point=lambda env_name, seed=None, **kw: make_goal_hidden(
+            env_name, seed
+        ),
+    )
+    register(
+        id="Meta-World/goal_observable",
+        entry_point=lambda env_name, seed=None, **kw: make_goal_observable(
+            env_name, seed
+        ),
+    )

@@ -1,0 +1,77 @@
+"""Gym adapter + public API tests (mirrors ref tests/metaworld/test_gym_make.py)."""
+
+import numpy as np
+import pytest
+
+import metaworld_tpu as mw
+
+
+def test_single_env_api():
+    env = mw.SawyerEnv("reach-v3", seed=42)
+    mt1 = mw.MT1("reach-v3", seed=42)
+    env.set_task(mt1.train_tasks[0])
+    obs, info = env.reset()
+    assert obs.shape == (39,)
+    from metaworld_tpu.policies import get_policy
+
+    pol = get_policy("reach-v3")
+    success = 0.0
+    for _ in range(120):
+        obs, r, term, trunc, info = env.step(np.asarray(pol(obs)))
+        success = max(success, info["success"])
+        if success:
+            break
+    assert success == 1.0
+
+
+def test_step_before_task_raises():
+    env = mw.SawyerEnv("push-v3")
+    with pytest.raises(RuntimeError):
+        env.step(np.zeros(4))
+
+
+def test_truncation_enforced():
+    env = mw.SawyerEnv("reach-v3", seed=0)
+    env.reset()
+    env.max_path_length = 3
+    for _ in range(3):
+        obs, r, te, tr, info = env.step(np.zeros(4))
+    assert tr is True or env.curr_path_length == 3
+    with pytest.raises(ValueError):
+        env.step(np.zeros(4))
+
+
+def test_make_mt_envs_and_registration():
+    envs = mw.make_mt_envs("MT10", seed=1, use_one_hot=True)
+    assert envs.num_envs == 10
+    import gymnasium as gym
+
+    mw.register_mw_envs()
+    env = gym.make("Meta-World/MT1", env_name="reach-v3", seed=3).unwrapped
+    obs, _ = env.reset()
+    assert obs.shape == (39,)
+
+
+def test_make_ml_envs_striping():
+    envs = mw.make_ml_envs("ML10", seed=2, meta_batch_size=20)
+    assert envs.num_envs == 20
+    assert len(set(envs.task_names)) == 10
+    with pytest.raises(AssertionError):
+        mw.make_ml_envs("ML10", seed=2, meta_batch_size=7)
+
+
+def test_goal_hidden_observable():
+    h = mw.make_goal_hidden("pick-place-v3", seed=5)
+    obs, _ = h.reset()
+    np.testing.assert_array_equal(obs[36:39], 0.0)
+    o = mw.make_goal_observable("pick-place-v3", seed=5)
+    obs2, _ = o.reset()
+    assert np.abs(obs2[36:39]).sum() > 0
+
+
+def test_render_rgb():
+    env = mw.SawyerEnv("pick-place-v3", seed=7, render_mode="rgb_array")
+    env.reset()
+    img = env.render()
+    assert img.shape == (480, 480, 3) and img.dtype == np.uint8
+    assert img.std() > 1  # actually drew something
