@@ -72,8 +72,8 @@ def _reward(spec: TaskSpec, state, obs, action):
 @registry.register("peg-unplug-side-v3")
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
-        objs=[FreeObj(radius=0.025, half_h=0.025, graspable=True,
-                      grasp_halfwidth=0.025, anchored=True)],
+        objs=[FreeObj(radius=0.03, half_h=0.03, graspable=True,
+                      grasp_halfwidth=0.031, anchored=True)],
         boxes=[StaticBox(pos=(-0.05, 0.0, 0.1), size=(0.08, 0.1, 0.1),
                          rel_fixture=True)],
         mocap_low=(-0.5, 0.40, 0.05),

@@ -15,7 +15,7 @@ import numpy as np
 
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec, gripper_caging_reward_grip, touching_main_object
-from metaworld_tpu.envs.scene_builder import FreeObj, build_scene
+from metaworld_tpu.envs.scene_builder import FreeObj, StaticBox, build_scene
 from metaworld_tpu.envs.tasks import common
 from metaworld_tpu.rewards import utils as reward_utils
 
@@ -91,6 +91,13 @@ def make_spec(task_id: int) -> TaskSpec:
         # is 0 across all golden traces): it is kicked/pushed only
         objs=[FreeObj(kind=2, radius=0.026, half_h=0.026, graspable=False,
                       grasp_halfwidth=0.026, mass=0.05)],
+        # goal frame: back net + posts catch the ball (the fixture base is
+        # moved to the sampled goal at reset)
+        boxes=[
+            StaticBox(pos=(0.0, 0.09, 0.05), size=(0.18, 0.01, 0.05), rel_fixture=True),
+            StaticBox(pos=(-0.18, 0.0, 0.05), size=(0.01, 0.1, 0.05), rel_fixture=True),
+            StaticBox(pos=(0.18, 0.0, 0.05), size=(0.01, 0.1, 0.05), rel_fixture=True),
+        ],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )

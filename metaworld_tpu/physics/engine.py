@@ -323,8 +323,8 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 hand_n = jnp.dot(hand_vel, n)
                 ball_n = jnp.dot(v, n)
                 boost = jnp.where(
-                    hit & is_sphere & (hand_n > 0.0) & (ball_n < 1.8 * hand_n),
-                    1.8 * hand_n - ball_n,
+                    hit & is_sphere & (hand_n > 0.0) & (ball_n < 1.3 * hand_n),
+                    1.3 * hand_n - ball_n,
                     0.0,
                 )
                 v = v + boost * n
@@ -542,11 +542,10 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         qacc = force / jnp.maximum(scene.joint_inertia, 1e-6)
         qv = qv + qacc * dt
         q_free = q + qv * dt
-        # hooked: joint coordinate servos toward the hand's projection
+        # hooked: the grasped handle moves rigidly with the hand (rate-capped
+        # at 4 m/s so a teleporting target cannot snap the joint)
         q_target = fixture_inverse(scene, sim.fixture_pos, tcp_mid)
-        q_hooked = q + jnp.clip(q_target - q, -2.5 * dt / SIM_DT * 0.01, 2.5 * dt / SIM_DT * 0.01) * (
-            1.0 - jnp.exp(-dt / 0.02)
-        )
+        q_hooked = q + jnp.clip(q_target - q, -4.0 * dt, 4.0 * dt)
         q_new = jnp.where(hooked > 0, q_hooked, q_free)
         q_new = jnp.clip(q_new, scene.joint_range[:, 0], scene.joint_range[:, 1])
         qv = (q_new - q) / dt
