@@ -156,13 +156,16 @@ def _specs(names: list[str]) -> dict[str, TaskSpec]:
     return {n: registry.get_spec(n) for n in names}
 
 
-def MT1(env_name: str, seed: int | None = None) -> Benchmark:
-    """(ref metaworld/__init__.py:185-206)"""
+def MT1(env_name: str, seed: int | None = None,
+        num_goals: int = _N_GOALS) -> Benchmark:
+    """(ref metaworld/__init__.py:185-206; num_goals mirrors the
+    registration-time kwarg that mutates _N_GOALS, ref :618-621)"""
     assert env_name in registry.TASK_ID, f"unknown env {env_name}"
     return Benchmark(
         train_classes=_specs([env_name]),
         test_classes={},
-        train_tasks=_make_tasks([env_name], seed, partially_observable=False),
+        train_tasks=_make_tasks([env_name], seed, partially_observable=False,
+                                n_goals=num_goals),
         test_tasks=[],
     )
 

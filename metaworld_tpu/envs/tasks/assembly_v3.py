@@ -37,7 +37,7 @@ def _reset(spec: TaskSpec, rand, rng):
 
 
 def assembly_obs(spec: TaskSpec, state):
-    pos = state.sim.obj_pos.at[0].add(jnp.asarray(_HANDLE_OFF))
+    pos = state.sim.obj_pos + jnp.array([[1.0], [0.0]]) * jnp.asarray(_HANDLE_OFF)[None, :]
     quat = jnp.tile(jnp.array([0.71, 0.0, 0.0, 0.71]), (2, 1))
     return pos, quat
 

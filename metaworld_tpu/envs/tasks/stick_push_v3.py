@@ -36,7 +36,7 @@ def stick_scene(link: bool):
 
 
 def thermos_obs(spec: TaskSpec, state):
-    pos = state.sim.obj_pos.at[1].add(jnp.asarray(_THERMOS_OBS_OFF))
+    pos = state.sim.obj_pos + jnp.array([[0.0], [1.0]]) * jnp.asarray(_THERMOS_OBS_OFF)[None, :]
     quat = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (2, 1))
     return pos, quat
 
