@@ -88,7 +88,10 @@ def _module_for(name: str) -> str:
     return "metaworld_tpu.envs.tasks." + name.replace("-", "_")
 
 
-def get_spec(name: str) -> TaskSpec:
+def get_spec(name: str, reward_function_version: str = "v2") -> TaskSpec:
+    """Task spec for `name`. `reward_function_version` selects the reward
+    family (ref sawyer_xyz_env.py:187): "v2" (default, shaped [0,10]
+    rewards) or "v1" (the legacy pre-2020 family, metaworld_tpu.rewards.v1)."""
     if name not in TASK_ID:
         raise KeyError(
             f"unknown env name {name!r}; valid names are the 50 entries of "
@@ -98,7 +101,21 @@ def get_spec(name: str) -> TaskSpec:
         if name not in _MAKERS:
             importlib.import_module(_module_for(name))
         _SPECS[name] = _MAKERS[name](TASK_ID[name])
-    return _SPECS[name]
+    if reward_function_version == "v2":
+        return _SPECS[name]
+    if reward_function_version != "v1":
+        raise ValueError(
+            f"reward_function_version must be 'v1' or 'v2', got "
+            f"{reward_function_version!r}")
+    key = name + "#v1"
+    if key not in _SPECS:
+        import dataclasses
+
+        from metaworld_tpu.rewards.v1 import V1_REWARDS
+
+        _SPECS[key] = dataclasses.replace(
+            _SPECS[name], reward_fn=V1_REWARDS[name])
+    return _SPECS[key]
 
 
 def implemented_envs() -> list[str]:

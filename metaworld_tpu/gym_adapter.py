@@ -44,12 +44,10 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
     def __init__(self, env_name: str, seed: int | None = None,
                  render_mode: str | None = None,
                  reward_function_version: str = "v2", **_ignored):
-        assert reward_function_version == "v2", (
-            "only the v2 reward family is implemented"
-        )
         self.env_name = env_name
         self.task_name = env_name
-        self.spec_ = registry.get_spec(env_name)
+        self.reward_function_version = reward_function_version
+        self.spec_ = registry.get_spec(env_name, reward_function_version)
         self.render_mode = render_mode
         self.max_path_length = MAX_PATH_LENGTH
 

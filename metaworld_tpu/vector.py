@@ -369,14 +369,22 @@ class FusedBatchedEnvs(BatchedEnvs):
 
 
 def from_benchmark(bench, split: str = "train", envs_per_task: int = 1,
-                   fused: bool = True, **kwargs) -> BatchedEnvs:
+                   fused: bool = True, reward_function_version: str = "v2",
+                   **kwargs) -> BatchedEnvs:
     """Build a batch from a Benchmark: `envs_per_task` slots per env class,
     goals drawn from that env's goal table (the reference's one-sub-env-per-
-    task vector layout, ref make_mt_envs __init__.py:460-513)."""
+    task vector layout, ref make_mt_envs __init__.py:460-513).
+    `reward_function_version` selects "v2" (default) or the legacy "v1"
+    reward family (ref sawyer_xyz_env.py:187)."""
+    from metaworld_tpu.envs import registry
+
     classes = bench.train_classes if split == "train" else bench.test_classes
     tasks = bench.train_tasks if split == "train" else bench.test_tasks
     names = list(classes.keys())
-    specs = [classes[n] for n in names]
+    if reward_function_version == "v2":
+        specs = [classes[n] for n in names]
+    else:
+        specs = [registry.get_spec(n, reward_function_version) for n in names]
     counts = [envs_per_task] * len(names)
     tables = [bench.goal_table(n, split) for n in names]
     visible = [not any(t.partially_observable for t in tasks if t.env_name == n)
