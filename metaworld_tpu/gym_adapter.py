@@ -149,19 +149,42 @@ def make_goal_observable(env_name: str, seed: int | None = None) -> SawyerEnv:
 # ---------------------------------------------------------------------------
 
 
+_PIPELINE_KWARGS = ("reward_normalization_method", "normalize_observations",
+                    "recurrent_info_in_obs", "normalize_rnn_reward",
+                    "reward_norm_gamma")
+
+
+def _split_pipeline_kwargs(kwargs):
+    return {k: kwargs.pop(k) for k in list(kwargs) if k in _PIPELINE_KWARGS}
+
+
+def _maybe_pipeline(envs, pipe_kwargs):
+    """Assemble the reference's wrapper stack around the engine when any of
+    _init_each_env's normalization/augmentation kwargs are requested
+    (ref metaworld/__init__.py:398-457)."""
+    if not pipe_kwargs:
+        return envs
+    from metaworld_tpu.wrappers import EnvPipeline
+
+    return EnvPipeline(envs, **pipe_kwargs)
+
+
 def make_mt_envs(name: str, seed: int | None = None, num_goals: int = 50,
                  envs_per_task: int = 1, use_one_hot: bool = False,
                  terminate_on_success: bool = False,
                  max_episode_steps: int = MAX_PATH_LENGTH, **kwargs):
     """MT benchmark batch (ref make_mt_envs :460-513). `name` is an env name
-    (-> MT1) or one of MT10/MT25/MT50."""
+    (-> MT1) or one of MT10/MT25/MT50. Accepts the reference's wrapper-stack
+    kwargs (reward_normalization_method, normalize_observations,
+    recurrent_info_in_obs) and returns an EnvPipeline when any are set."""
     from metaworld_tpu import vector
 
     if name in ("MT10", "MT25", "MT50"):
         bench = getattr(benchmarks, name)(seed=seed)
     else:
         bench = benchmarks.MT1(name, seed=seed)
-    return vector.from_benchmark(
+    pk = _split_pipeline_kwargs(kwargs)
+    envs = vector.from_benchmark(
         bench,
         envs_per_task=envs_per_task,
         one_hot=use_one_hot,
@@ -169,6 +192,7 @@ def make_mt_envs(name: str, seed: int | None = None, num_goals: int = 50,
         max_episode_steps=max_episode_steps,
         **kwargs,
     )
+    return _maybe_pipeline(envs, pk)
 
 
 def make_ml_envs(name: str, seed: int | None = None,
@@ -187,9 +211,11 @@ def make_ml_envs(name: str, seed: int | None = None,
         "meta_batch_size must be divisible by the number of envs "
         "(ref __init__.py:518-524)"
     )
-    return vector.from_benchmark(
+    pk = _split_pipeline_kwargs(kwargs)
+    envs = vector.from_benchmark(
         bench, split=split, envs_per_task=meta_batch_size // n_envs, **kwargs
     )
+    return _maybe_pipeline(envs, pk)
 
 
 make_ml_envs_train = functools.partial(make_ml_envs, split="train")

@@ -259,3 +259,82 @@ def restore(template_vstate, data: bytes, wrapper_templates=None):
     if wrapper_templates is not None:
         return out["vstate"], out["wrappers"]
     return out["vstate"]
+
+
+# ---------------------------------------------------------------------------
+# wrapper-stack assembly
+# ---------------------------------------------------------------------------
+
+
+class EnvPipeline:
+    """The reference's per-env wrapper assembly as ONE jitted state
+    transform (ref metaworld/__init__.py:398-457, `_init_each_env`).
+
+    Wrapper order matches the reference's nesting (inner -> outer):
+    engine (TimeLimit + AutoTerminateOnSuccess + OneHot are engine flags)
+    -> RNN meta-RL obs augmentation -> reward normalization -> observation
+    normalization. The RNN wrapper therefore sees raw rewards, and the
+    observation normalizer whitens the augmented observation, exactly like
+    the reference's stack.
+
+    State is the tuple (vstate, rnorm_state, onorm_state, rnn_state) — a
+    pytree, so the whole stack checkpoints via `checkpoint()`/`restore()`
+    and jits into a single XLA program.
+    """
+
+    def __init__(self, envs, reward_normalization_method: str | None = None,
+                 normalize_observations: bool = False,
+                 recurrent_info_in_obs: bool = False,
+                 normalize_rnn_reward: bool = False,
+                 reward_norm_gamma: float = 0.99):
+        assert reward_normalization_method in (None, "none", "gymnasium",
+                                               "exponential"), \
+            reward_normalization_method
+        self.envs = envs
+        self.num_envs = envs.num_envs
+        self.rnorm = None
+        if reward_normalization_method == "gymnasium":
+            self.rnorm = DiscountedRewardNorm(envs.num_envs,
+                                              gamma=reward_norm_gamma)
+        elif reward_normalization_method == "exponential":
+            self.rnorm = ExponentialRewardNorm()
+        self.rnn = (RNNMetaRLAugment(envs.num_envs, normalize_rnn_reward)
+                    if recurrent_info_in_obs else None)
+        self.obs_dim = envs.obs_dim + (self.rnn.extra_dims if self.rnn else 0)
+        self.onorm = (ObservationNorm(self.obs_dim)
+                      if normalize_observations else None)
+
+    # -- state plumbing ----------------------------------------------------
+
+    def reset(self, key):
+        vstate, obs = self.envs.reset(key)
+        rnorm_s = self.rnorm.init() if self.rnorm else None
+        rnn_s = self.rnn.init() if self.rnn else None
+        if self.rnn:
+            obs = self.rnn.augment(rnn_s, obs)
+        onorm_s = self.onorm.init() if self.onorm else None
+        if self.onorm:
+            onorm_s, obs = self.onorm(onorm_s, obs)
+        return (vstate, rnorm_s, onorm_s, rnn_s), obs
+
+    def step(self, state, actions):
+        vstate, rnorm_s, onorm_s, rnn_s = state
+        vstate, out = self.envs.step(vstate, actions)
+        out = dict(out)
+        done = jnp.logical_or(out["terminated"], out["truncated"])
+        raw_reward = out["reward"]
+        if self.rnn:
+            rnn_s = self.rnn.update(rnn_s, jnp.asarray(actions), raw_reward,
+                                    done)
+            out["obs"] = self.rnn.augment(rnn_s, out["obs"])
+        if self.rnorm:
+            rnorm_s, out["reward"] = self.rnorm(rnorm_s, raw_reward,
+                                                done.astype(jnp.float32))
+        if self.onorm:
+            onorm_s, out["obs"] = self.onorm(onorm_s, out["obs"])
+        return (vstate, rnorm_s, onorm_s, rnn_s), out
+
+    def __getattr__(self, name):
+        # delegate everything else (task_names, goal tables, ...) to the
+        # underlying engine, like a gymnasium wrapper would
+        return getattr(self.envs, name)
