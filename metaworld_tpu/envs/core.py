@@ -152,11 +152,28 @@ def obs_bounds(spec: TaskSpec, goal_visible: bool):
 
 def env_step(spec: TaskSpec, state: EnvState, action: jnp.ndarray):
     """One control step (ref sawyer_xyz_env.py:579-642). Returns
-    (new_state, StepOut). Never terminates; truncates at 500 steps."""
+    (new_state, StepOut). Never terminates; truncates at 500 steps.
+
+    Sim-instability guard (ref _did_see_sim_exception, sawyer_xyz_env.py:
+    235,250,603-619): if the physics update produced any non-finite state,
+    the step keeps the LAST STABLE sim state and reports reward 0 — the
+    in-graph equivalent of the reference catching a MuJoCo exception and
+    returning its last stable observation."""
     sim = engine.control_step(spec.scene_device, state.sim, action)
+    stable = (jnp.isfinite(sim.hand).all()
+              & jnp.isfinite(sim.obj_pos).all()
+              & jnp.isfinite(sim.joint_q).all()
+              & jnp.isfinite(sim.gripper).all())
+    sim = jax.tree.map(
+        lambda new, old: jnp.where(stable, new, old), sim, state.sim)
     path_length = state.path_length + 1
     state = state.replace(sim=sim, path_length=path_length)
-    return post_step(spec, state, action)
+    state, out = post_step(spec, state, action)
+    out = out.replace(
+        reward=jnp.where(stable, out.reward, 0.0),
+        unscaled_reward=jnp.where(stable, out.unscaled_reward, 0.0),
+    )
+    return state, out
 
 
 def post_step(spec: TaskSpec, state: EnvState, action: jnp.ndarray):

@@ -296,6 +296,17 @@ class FusedBatchedEnvs(BatchedEnvs):
         env = vstate.env
         # full-width physics over per-slot scene rows
         sim = jax.vmap(engine.control_step)(self._scene_slots, env.sim, actions)
+        # sim-instability guard, vectorized (ref _did_see_sim_exception,
+        # sawyer_xyz_env.py:235,603-619): unstable slots keep their last
+        # stable sim state and report reward 0 below
+        stable = (jnp.isfinite(sim.hand).all(-1)
+                  & jnp.isfinite(sim.obj_pos).reshape(sim.hand.shape[0], -1).all(-1)
+                  & jnp.isfinite(sim.joint_q).all(-1)
+                  & jnp.isfinite(sim.gripper))
+        sim = jax.tree.map(
+            lambda new, old: jnp.where(
+                stable.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+            sim, env.sim)
         env = env.replace(sim=sim, path_length=env.path_length + 1)
 
         # per-task obs/reward tails
@@ -310,6 +321,10 @@ class FusedBatchedEnvs(BatchedEnvs):
         )
         out = jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *[o for _, o in obss]
+        )
+        out = out.replace(
+            reward=jnp.where(stable, out.reward, 0.0),
+            unscaled_reward=jnp.where(stable, out.unscaled_reward, 0.0),
         )
 
         truncated = out.truncated | (env.path_length >= self.max_episode_steps)

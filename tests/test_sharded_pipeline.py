@@ -111,3 +111,40 @@ def test_hand_space_clamp():
         assert (hands >= lo - 1e-6).all() and (hands <= hi + 1e-6).all(), (
             f"trial {trial}: tcp escaped HAND_SPACE: "
             f"{hands.min(0)} .. {hands.max(0)}")
+
+
+def test_sim_instability_guard():
+    """A non-finite physics update must keep the last stable state and
+    report reward 0, then recover (ref _did_see_sim_exception,
+    sawyer_xyz_env.py:235,603-619)."""
+    from metaworld_tpu.envs import registry
+    from metaworld_tpu.envs.core import env_reset, env_step
+
+    spec = registry.get_spec("reach-v3")
+    rand = np.zeros(12)
+    rand[:6] = [0.0, 0.65, 0.02, 0.0, 0.8, 0.2]
+    st, obs = env_reset(spec, jnp.asarray(rand), jax.random.PRNGKey(0), 1.0)
+    step = jax.jit(lambda s, a: env_step(spec, s, a))
+    st, out = step(st, jnp.array([jnp.nan, 0.0, 0.0, 1.0]))
+    assert float(out.reward) == 0.0
+    assert bool(jnp.isfinite(out.obs).all())
+    assert bool(jnp.isfinite(st.sim.hand).all())
+    st, out = step(st, jnp.zeros(4))
+    assert bool(jnp.isfinite(out.obs).all()) and float(out.reward) > 0.0
+
+
+def test_sim_instability_guard_fused():
+    """Same guard on the fused batch: one poisoned slot reports reward 0 and
+    stays finite; the rest of the batch is unaffected."""
+    bench = mw.MT1("push-v3", seed=0, num_goals=4)
+    envs = mw.vector.from_benchmark(bench, envs_per_task=4, fused=True)
+    state, obs = envs.reset(jax.random.PRNGKey(0))
+    acts = np.zeros((4, 4))
+    acts[1, 0] = np.nan
+    state, out = envs.step(state, jnp.asarray(acts))
+    r = np.asarray(out["reward"])
+    assert r[1] == 0.0
+    assert np.isfinite(np.asarray(out["obs"])).all()
+    state, out = envs.step(state, jnp.zeros((4, 4)))
+    assert np.isfinite(np.asarray(out["reward"])).all()
+    assert np.asarray(out["reward"])[1] != 0.0
