@@ -74,6 +74,16 @@ _HOOK_RADIUS = 0.045     # tcp-to-handle distance to hook a hookable fixture
 _GRAVITY = 9.81
 
 
+def _norm(x, axis=None):
+    """L2 norm with a NaN-free gradient at zero. `jnp.linalg.norm`'s VJP is
+    x/||x||, which is 0/0 for the exactly-zero vectors that padded joint /
+    object slots produce on every step — one such NaN in an unselected
+    `where` branch poisons the whole backward pass (NaN * 0 = NaN), killing
+    differentiation through the engine. Forward-identical above 1e-12 m."""
+    ss = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(jnp.maximum(ss, 1e-24))
+
+
 def gripper_gap(sim: SimState) -> jnp.ndarray:
     """Claw gap in meters from the normalized aperture."""
     return sim.gripper * GRIPPER_FULL_OPEN
@@ -120,7 +130,7 @@ def _sphere_box_pushout(p, r, box_pos, box_size):
     clamped = jnp.clip(d, -box_size, box_size)
     closest = box_pos + clamped
     delta = p - closest
-    dist = jnp.linalg.norm(delta)
+    dist = _norm(delta)
     # outside-face case
     n_out = delta / jnp.maximum(dist, 1e-9)
     pen_out = jnp.maximum(r - dist, 0.0)
@@ -141,7 +151,7 @@ def _resolve_kinematic_contact(pos, vel, kin_pos, kin_vel, r_sum):
     """Sphere (pos, vel) vs kinematic sphere (hand parts). Position-project the
     free body out and match normal velocity. Returns (pos, vel, pen)."""
     delta = pos - kin_pos
-    dist = jnp.linalg.norm(delta)
+    dist = _norm(delta)
     n = delta / jnp.maximum(dist, 1e-9)
     pen = jnp.maximum(r_sum - dist, 0.0)
     hit = pen > 0.0
@@ -343,7 +353,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
 
         # object-object contact (two-object scenes)
         delta = pos[0] - pos[1]
-        dist = jnp.linalg.norm(delta)
+        dist = _norm(delta)
         r_sum = scene.obj_radius[0] + scene.obj_radius[1]
         pen = jnp.maximum(r_sum - dist, 0.0)
         # in link scenes (stick-pull) the tool tip passes THROUGH the ring
@@ -377,7 +387,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # kill the velocity component pointing into the box (along -correction)
         corr_n = maths.safe_normalize(corr)
         v_into = jnp.minimum(jnp.sum(vel * corr_n, axis=1, keepdims=True), 0.0)
-        hit_box = (jnp.linalg.norm(corr, axis=1) > 1e-9)[:, None] & free[:, None]
+        hit_box = (_norm(corr, axis=1) > 1e-9)[:, None] & free[:, None]
         vel = jnp.where(hit_box, vel - corr_n * v_into, vel)
 
         # ground / pit support
@@ -390,7 +400,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             p = p + _EZ * jnp.where(below, sz + half_h - p[2], 0.0)
             vz_new = jnp.where(below & (v[2] < 0.0), 0.0, v[2])
             # Coulomb friction on the tangential velocity while supported
-            speed = jnp.linalg.norm(v[:2])
+            speed = _norm(v[:2])
             dec = fric * _GRAVITY * dt
             scale = jnp.where(speed > 1e-9, jnp.maximum(speed - dec, 0.0) / jnp.maximum(speed, 1e-9), 0.0)
             xy_scale = jnp.where(below, scale, 1.0)
@@ -469,7 +479,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
 
         # hook: gripper closes near a hookable handle -> joint follows hand
         tcp_mid = new_hand + jnp.array([0.0, 0.0, PAD_Z_OFFSET * 0.6])
-        d_handle = jnp.linalg.norm(handle - tcp_mid[None, :], axis=1)
+        d_handle = _norm(handle - tcp_mid[None, :], axis=1)
         hook_now = (
             (scene.joint_hookable > 0)
             & (d_handle < _HOOK_RADIUS)
@@ -489,7 +499,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
 
         def sphere_part(center, r_part):
             delta_h = handle - center[None, :]
-            dist_h = jnp.linalg.norm(delta_h, axis=1)
+            dist_h = _norm(delta_h, axis=1)
             pen_h = jnp.maximum(scene.joint_handle_radius + r_part - dist_h, 0.0)
             n_h = delta_h / jnp.maximum(dist_h, 1e-9)[:, None]
             return jnp.sum(pen_h[:, None] * n_h * 4000.0 * motion, axis=1)
@@ -498,7 +508,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             d = handle - center[None, :]
             clamped = jnp.clip(d, -pad_half_press, pad_half_press)
             delta_h = d - clamped
-            dist_h = jnp.linalg.norm(delta_h, axis=1)
+            dist_h = _norm(delta_h, axis=1)
             pen_h = jnp.maximum(scene.joint_handle_radius - dist_h, 0.0)
             n_h = delta_h / jnp.maximum(dist_h, 1e-9)[:, None]
             return jnp.sum(pen_h[:, None] * n_h * 4000.0 * motion, axis=1)
@@ -517,7 +527,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # panel stations: hand parts press the door face anywhere on the span
         def panel_part(center, r_part, station):
             delta_h = station - center[None, :]
-            dist_h = jnp.linalg.norm(delta_h, axis=1)
+            dist_h = _norm(delta_h, axis=1)
             pen_h = jnp.maximum(scene.joint_handle_radius + r_part - dist_h, 0.0)
             n_h = delta_h / jnp.maximum(dist_h, 1e-9)[:, None]
             return jnp.sum(pen_h[:, None] * n_h * 4000.0 * motion, axis=1)
@@ -618,7 +628,7 @@ def fixture_inverse(scene: SceneParams, fixture_pos, point):
     arm_p = arm0 - jnp.sum(arm0 * axis, axis=1, keepdims=True) * axis
     cosq = jnp.sum(rel_p * arm_p, axis=1)
     sinq = jnp.sum(jnp.cross(arm_p, rel_p) * axis, axis=1)
-    q_hinge = jnp.arctan2(sinq, cosq)
+    q_hinge = jnp.arctan2(sinq, jnp.where((jnp.abs(sinq) + jnp.abs(cosq)) < 1e-12, 1.0, cosq))
     return jnp.where(scene.joint_type == JointType.HINGE, q_hinge, q_slide)
 
 

@@ -51,7 +51,7 @@ def quat_integrate(q, omega, dt):
     """Integrate angular velocity omega (world frame) over dt."""
     dq = jnp.concatenate([jnp.zeros(q.shape[:-1] + (1,)), omega * dt], axis=-1)
     qn = q + 0.5 * quat_mul(dq, q)
-    return qn / jnp.linalg.norm(qn, axis=-1, keepdims=True)
+    return qn / jnp.sqrt(jnp.maximum(jnp.sum(qn * qn, axis=-1, keepdims=True), 1e-24))
 
 
 def quat_to_mat(q):
@@ -85,7 +85,7 @@ def mat_to_quat(m):
     diag = jnp.stack([tr, m00, m11, m22], axis=-1)
     idx = jnp.argmax(diag, axis=-1)
     q = jnp.take_along_axis(cases, idx[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
-    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), 1e-24))
 
 
 def quat_to_xyzw(q):
@@ -103,9 +103,11 @@ def euler_z_quat(angle):
 
 
 def norm(x, axis=-1):
-    return jnp.linalg.norm(x, axis=axis)
+    """L2 norm with a NaN-free gradient at zero (jnp.linalg.norm's VJP is
+    0/0 there; zero vectors are routine in padded slots)."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=axis), 1e-24))
 
 
 def safe_normalize(v, eps=1e-9):
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-24))
     return v / jnp.maximum(n, eps)

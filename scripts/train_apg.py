@@ -1,0 +1,110 @@
+"""Analytic-policy-gradient training THROUGH the differentiable physics.
+
+The engine is pure JAX, so the whole rollout is differentiable end-to-end:
+backprop flows through contacts, grasping, and reward shaping. This trains
+reach-v3 to 100% success in ~90 updates (~30 s on a CPU; seconds on a TPU
+chip) — a capability the reference's C MuJoCo core cannot offer at all.
+
+    python scripts/train_apg.py --env reach-v3 --updates 150 --cpu
+
+Structure (SHAC-style episodic windows): every update resets the batch and
+unrolls H steps under lax.scan; the loss is the (time-weighted) negative
+mean reward; jax.grad differentiates through the entire unroll. Fresh
+resets per update keep the visited-state distribution anchored — carrying
+states across updates lets early bad policies drift the batch into
+workspace corners where the mocap clip zeroes the gradient.
+
+Notes for harder tasks: contact-heavy tasks (pick/place, tools) have
+stiffer, noisier BPTT gradients; shorten H, lower the lr, and consider a
+terminal value function (the full SHAC recipe). The gradient path is exact:
+engine norms are hardened so padded zero-vectors don't emit NaN cotangents
+(physics/engine.py::_norm).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="reach-v3")
+    ap.add_argument("--envs-per-task", type=int, default=64)
+    ap.add_argument("--horizon", type=int, default=60)
+    ap.add_argument("--updates", type=int, default=150)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as nn
+
+    import metaworld_tpu as mw
+
+    bench = mw.MT1(args.env, seed=args.seed)
+    envs = mw.vector.from_benchmark(bench, envs_per_task=args.envs_per_task)
+    obs_dim = envs.obs_dim
+
+    class Pi(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = x
+            for _ in range(2):
+                h = nn.tanh(nn.Dense(args.hidden)(h))
+            return nn.tanh(nn.Dense(4)(h))
+
+    model = Pi()
+    params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, obs_dim)))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    opt_state = tx.init(params)
+
+    def episode(params, key):
+        vstate, obs = envs.reset(key)
+
+        def body(carry, _):
+            vstate, obs = carry
+            act = model.apply(params, obs)
+            vstate, out = envs.step(vstate, act)
+            return (vstate, out["obs"]), (out["reward"], out["success"])
+
+        (_, _), (rews, succ) = jax.lax.scan(
+            body, (vstate, obs), None, length=args.horizon)
+        # weight later steps up: reach the goal AND stay there
+        w = jnp.linspace(0.3, 1.0, args.horizon)[:, None]
+        return -(w * rews).mean(), (rews.mean(), succ.max(0).mean())
+
+    @jax.jit
+    def update(params, opt_state, key):
+        key, sub = jax.random.split(key)
+        (loss, (r, s)), grads = jax.value_and_grad(
+            episode, has_aux=True)(params, sub)
+        upd, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, upd), opt_state, key, r, s
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.time()
+    for i in range(args.updates):
+        params, opt_state, key, r, s = update(params, opt_state, key)
+        if i % 15 == 0 or i == args.updates - 1:
+            print(json.dumps({
+                "update": i,
+                "mean_reward": round(float(r), 3),
+                "success_rate": round(float(s), 3),
+                "wall_s": round(time.time() - t0, 1),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
