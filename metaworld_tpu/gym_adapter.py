@@ -222,6 +222,63 @@ make_ml_envs_train = functools.partial(make_ml_envs, split="train")
 make_ml_envs_test = functools.partial(make_ml_envs, split="test")
 
 
+
+class GymVectorBatch(gym.vector.VectorEnv if _HAS_GYM else object):
+    """gymnasium.vector.VectorEnv facade over a batched engine/pipeline —
+    numpy in/out, device state held internally, in-graph autoreset. Lets the
+    jitted batch drop into code written for the reference's
+    `gym.make_vec("Meta-World/MT10", ...)` (ref register_mw_envs
+    __init__.py:630-779)."""
+
+    def __init__(self, envs, seed=None):
+        if _HAS_GYM:
+            try:
+                self.metadata = {"autoreset_mode":
+                                 gym.vector.AutoresetMode.NEXT_STEP}
+            except AttributeError:  # older gymnasium
+                self.metadata = {}
+        self.envs = envs
+        self.num_envs = envs.num_envs
+        if _HAS_GYM:
+            from gymnasium.spaces import Box
+
+            self.single_action_space = Box(-np.ones(4, np.float32),
+                                           np.ones(4, np.float32))
+            d = envs.obs_dim
+            self.single_observation_space = Box(
+                np.full(d, -np.inf, np.float64), np.full(d, np.inf, np.float64))
+            from gymnasium.vector.utils import batch_space
+
+            self.action_space = batch_space(self.single_action_space,
+                                            self.num_envs)
+            self.observation_space = batch_space(self.single_observation_space,
+                                                 self.num_envs)
+        self._seed = seed if seed is not None else 0
+        self._state = None
+
+    def reset(self, *, seed=None, options=None):
+        if seed is not None:
+            self._seed = seed
+        self._state, obs = self.envs.reset(jax.random.PRNGKey(self._seed))
+        return np.asarray(obs), {}
+
+    def step(self, actions):
+        assert self._state is not None, "call reset() first"
+        self._state, out = self.envs.step(self._state,
+                                          jnp.asarray(np.asarray(actions)))
+        infos = {k: np.asarray(v) for k, v in out.items()
+                 if k not in ("obs", "reward", "terminated", "truncated")}
+        return (np.asarray(out["obs"]), np.asarray(out["reward"]),
+                np.asarray(out["terminated"]), np.asarray(out["truncated"]),
+                infos)
+
+    def get_attr(self, name):
+        return getattr(self.envs, name)
+
+    def close(self):
+        pass
+
+
 def register_mw_envs() -> None:
     """Registers the reference's Gymnasium IDs (ref register_mw_envs
     :607-823): Meta-World/MT1, Meta-World/goal_hidden, Meta-World/goal_observable
@@ -251,3 +308,66 @@ def register_mw_envs() -> None:
             env_name, seed
         ),
     )
+    # The reference registers the MT/ML batches as gym.make_vec vector specs
+    # (ref register_mw_envs :630-823). Our batches are jitted batch engines,
+    # not per-process python envs, so these IDs resolve through gym.make and
+    # return the engine (or EnvPipeline) directly.
+    def _vec(factory):
+        def entry(*args, num_envs=None, **kw):
+            seed = kw.pop("seed", None)
+            return GymVectorBatch(factory(*args, seed=seed, **kw), seed=seed)
+        return entry
+
+    for mt in ("MT10", "MT25", "MT50"):
+        register(
+            id=f"Meta-World/{mt}",
+            vector_entry_point=(lambda _mt: _vec(
+                lambda seed=None, **kw: make_mt_envs(_mt, seed=seed, **kw)))(mt),
+        )
+    register(
+        id="Meta-World/ML1-train",
+        vector_entry_point=_vec(lambda env_name, seed=None, **kw:
+                                make_ml_envs_train(env_name, seed=seed, **kw)),
+    )
+    register(
+        id="Meta-World/ML1-test",
+        vector_entry_point=_vec(lambda env_name, seed=None, **kw:
+                                make_ml_envs_test(env_name, seed=seed, **kw)),
+    )
+    for ml in ("ML10", "ML25", "ML45"):
+        for split, fn in (("train", make_ml_envs_train),
+                          ("test", make_ml_envs_test)):
+            register(
+                id=f"Meta-World/{ml}-{split}",
+                vector_entry_point=(lambda _ml, _fn: _vec(
+                    lambda seed=None, **kw: _fn(_ml, seed=seed, **kw)))(ml, fn),
+            )
+    register(
+        id="Meta-World/custom-mt-envs",
+        vector_entry_point=_vec(lambda envs_list, seed=None, **kw:
+                                _custom_mt(envs_list, seed, **kw)),
+    )
+    register(
+        id="Meta-World/custom-ml-envs",
+        vector_entry_point=_vec(
+            lambda train_envs, test_envs, seed=None, split="train", **kw:
+            _custom_ml(train_envs, test_envs, seed, split, **kw)),
+    )
+
+
+def _custom_mt(envs_list, seed=None, **kw):
+    """(ref custom-mt-envs registration :780-800)"""
+    from metaworld_tpu import vector
+
+    bench = benchmarks._mt(list(envs_list), seed)
+    pk = _split_pipeline_kwargs(kw)
+    return _maybe_pipeline(vector.from_benchmark(bench, **kw), pk)
+
+
+def _custom_ml(train_envs, test_envs, seed=None, split="train", **kw):
+    """(ref custom-ml-envs registration :801-823)"""
+    from metaworld_tpu import vector
+
+    bench = benchmarks.CustomML(list(train_envs), list(test_envs), seed)
+    pk = _split_pipeline_kwargs(kw)
+    return _maybe_pipeline(vector.from_benchmark(bench, split=split, **kw), pk)
