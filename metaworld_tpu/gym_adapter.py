@@ -39,16 +39,19 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
     required before step, truncation at 500 steps.
     """
 
-    metadata = {"render_modes": ["rgb_array"], "render_fps": 80}
+    metadata = {"render_modes": ["rgb_array", "depth_array"],
+                "render_fps": 80}
 
     def __init__(self, env_name: str, seed: int | None = None,
                  render_mode: str | None = None,
+                 camera_name: str | None = None,
                  reward_function_version: str = "v2", **_ignored):
         self.env_name = env_name
         self.task_name = env_name
         self.reward_function_version = reward_function_version
         self.spec_ = registry.get_spec(env_name, reward_function_version)
         self.render_mode = render_mode
+        self.camera_name = camera_name or "topview"
         self.max_path_length = MAX_PATH_LENGTH
 
         self._step_jit = jax.jit(functools.partial(env_step, self.spec_))
@@ -119,9 +122,15 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
         )
 
     def render(self):
-        from metaworld_tpu.render import render_state
+        """rgb_array / depth_array from the configured camera (ref cameras
+        topview/corner/corner2/behindGripper, xyz_base.xml:16-20)."""
+        from metaworld_tpu.render import render_camera
 
-        return render_state(self.spec_, self._state)
+        depth = self.render_mode == "depth_array"
+        cam = self.camera_name
+        if depth and cam == "topview":
+            cam = "corner"
+        return render_camera(self.spec_, self._state, camera=cam, depth=depth)
 
 
 # ---------------------------------------------------------------------------

@@ -75,3 +75,22 @@ def test_render_rgb():
     img = env.render()
     assert img.shape == (480, 480, 3) and img.dtype == np.uint8
     assert img.std() > 1  # actually drew something
+
+
+def test_render_cameras_and_depth():
+    """Perspective cameras + depth_array (ref render modes/cameras)."""
+    import metaworld_tpu as mw
+
+    env = mw.SawyerEnv("push-v3", seed=0, render_mode="rgb_array",
+                       camera_name="corner")
+    env.set_task(mw.MT1("push-v3", seed=0).train_tasks[0])
+    env.reset()
+    img = env.render()
+    assert img.shape == (480, 480, 3) and img.dtype == np.uint8
+    denv = mw.SawyerEnv("push-v3", seed=0, render_mode="depth_array",
+                        camera_name="behindGripper")
+    denv.set_task(mw.MT1("push-v3", seed=0).train_tasks[0])
+    denv.reset()
+    d = denv.render()
+    assert d.shape == (480, 480) and d.dtype == np.float32
+    assert float(d.max()) > 0.1
