@@ -26,14 +26,11 @@ from metaworld_tpu.types import (
     MAX_JOINT,
     MAX_OBJ,
     MAX_PATH_LENGTH,
-    MAX_RAND,
     N_EXTRAS,
-    OBS_DIM,
     EnvState,
     SceneParams,
     SimState,
-    StepOut,
-)
+    StepOut,)
 from metaworld_tpu.rewards import utils as reward_utils
 
 

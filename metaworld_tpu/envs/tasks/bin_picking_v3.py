@@ -16,7 +16,7 @@ import numpy as np
 
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec, gripper_caging_reward
-from metaworld_tpu.envs.scene_builder import FreeObj, StaticBox, build_scene
+from metaworld_tpu.envs.scene_builder import FreeObj, build_scene
 from metaworld_tpu.envs.tasks import common
 from metaworld_tpu.rewards import utils as reward_utils
 

@@ -6,8 +6,6 @@ base + (-0.175, 0, 0.125); reward has no obj offset.
 
 from __future__ import annotations
 
-import numpy as np
-
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec
 from metaworld_tpu.envs.tasks.faucet_open_v3 import make_faucet_spec

@@ -10,8 +10,6 @@ jitted functional core; the adapter only shuttles numpy at the boundary.
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

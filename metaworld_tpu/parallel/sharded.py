@@ -17,7 +17,6 @@ every step (~60x slower on an 8-way mesh; see scripts/scaling_bench.py).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from metaworld_tpu.parallel.mesh import ENV_AXIS, make_env_mesh

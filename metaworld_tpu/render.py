@@ -90,7 +90,6 @@ def render_state(spec, state) -> np.ndarray:
 
     # fixture handles
     from metaworld_tpu.physics import engine
-    import jax.numpy as jnp
 
     handles = np.asarray(engine.fixture_handle_pos(
         spec.scene_device, state.sim.fixture_pos, state.sim.joint_q

@@ -27,7 +27,7 @@ import numpy as np
 from flax import struct
 
 from metaworld_tpu.envs.core import TaskSpec, env_reset, env_step
-from metaworld_tpu.types import MAX_PATH_LENGTH, MAX_RAND, StepOut
+from metaworld_tpu.types import MAX_PATH_LENGTH
 
 
 def _tree_select(mask, a, b):

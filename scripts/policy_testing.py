@@ -13,7 +13,6 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import functools
 
 import jax.numpy as jnp
 import numpy as np
@@ -22,7 +21,6 @@ from metaworld_tpu import benchmarks
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import env_reset, env_step
 from metaworld_tpu.policies import get_policy
-from metaworld_tpu.types import MAX_RAND
 
 
 def run_task(name: str, n_goals: int = 10, seed: int = 42) -> float:

@@ -46,7 +46,6 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import numpy as np
 
     import metaworld_tpu as mw
     from metaworld_tpu.parallel import mesh as pmesh

@@ -60,7 +60,6 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import numpy as np
     import optax
     from flax import linen as nn
 
