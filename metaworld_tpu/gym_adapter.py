@@ -119,6 +119,57 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
             info,
         )
 
+    # -- state get/set + pickling (ref SawyerMocapBase, sawyer_xyz_env.py:
+    # 87-131: get_env_state/set_env_state/__getstate__/__setstate__) -------
+    def get_env_state(self):
+        """Snapshot of the full env state (the reference returns
+        (qpos, qvel); here the whole EnvState pytree serializes exactly)."""
+        from flax import serialization
+
+        return (serialization.to_bytes(self._state), self.curr_path_length,
+                np.asarray(jax.device_get(self._key)))
+
+    def set_env_state(self, snapshot) -> None:
+        from flax import serialization
+
+        blob, path_length, key = snapshot
+        assert self._state is not None, "reset() once before set_env_state"
+        self._state = serialization.from_bytes(self._state, blob)
+        self.curr_path_length = path_length
+        self._key = jnp.asarray(key)
+
+    def __getstate__(self):
+        state = None
+        if self._state is not None:
+            state = self.get_env_state()
+        return {
+            "env_name": self.env_name,
+            "render_mode": self.render_mode,
+            "camera_name": self.camera_name,
+            "reward_function_version": self.reward_function_version,
+            "task_vec": self._task_vec,
+            "goal_visible": self._goal_visible,
+            "set_task_called": self._set_task_called,
+            "seeded_rand_vec": self.seeded_rand_vec,
+            "rng": self._rng,
+            "key": np.asarray(jax.device_get(self._key)),
+            "env_state": state,
+        }
+
+    def __setstate__(self, d):
+        self.__init__(d["env_name"], render_mode=d["render_mode"],
+                      camera_name=d["camera_name"],
+                      reward_function_version=d["reward_function_version"])
+        self._task_vec = d["task_vec"]
+        self._goal_visible = d["goal_visible"]
+        self._set_task_called = d["set_task_called"]
+        self.seeded_rand_vec = d["seeded_rand_vec"]
+        self._rng = d["rng"]
+        self._key = jnp.asarray(d["key"])
+        if d["env_state"] is not None:
+            self.reset()
+            self.set_env_state(d["env_state"])
+
     def render(self):
         """rgb_array / depth_array from the configured camera (ref cameras
         topview/corner/corner2/behindGripper, xyz_base.xml:16-20)."""

@@ -94,3 +94,29 @@ def test_render_cameras_and_depth():
     d = denv.render()
     assert d.shape == (480, 480) and d.dtype == np.float32
     assert float(d.max()) > 0.1
+
+
+def test_env_state_snapshot_and_pickle():
+    """get_env_state/set_env_state restore an exact mid-episode state, and
+    the whole env pickles (ref SawyerMocapBase :87-131)."""
+    import pickle
+
+    import metaworld_tpu as mw
+
+    env = mw.SawyerEnv("push-v3", seed=9)
+    env.set_task(mw.MT1("push-v3", seed=9).train_tasks[0])
+    env.reset()
+    for _ in range(20):
+        obs, *_ = env.step(np.array([0.4, 0.2, -0.3, 1.0]))
+    snap = env.get_env_state()
+    obs_a, r_a, *_ = env.step(np.array([0.1, 0.1, 0.0, 1.0]))
+    env.set_env_state(snap)
+    obs_b, r_b, *_ = env.step(np.array([0.1, 0.1, 0.0, 1.0]))
+    np.testing.assert_array_equal(obs_a, obs_b)
+    assert r_a == r_b
+
+    env.set_env_state(snap)
+    clone = pickle.loads(pickle.dumps(env))
+    obs_c, r_c, *_ = clone.step(np.array([0.1, 0.1, 0.0, 1.0]))
+    np.testing.assert_array_equal(obs_a, obs_c)
+    assert r_a == r_c
