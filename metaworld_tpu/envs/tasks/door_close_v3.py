@@ -27,11 +27,13 @@ _ARM = (-0.0634, -0.4757, 0.0)
 def _reset(spec: TaskSpec, rand, rng):
     door = rand[:3]
     target = door + jnp.array([0.2, -0.2, 0.0])
-    handle0 = door + jnp.asarray(_PIVOT) + jnp.asarray(_ARM)
+    # reference obj_init_pos is the DOOR BODY (rand vec) — its in_place
+    # margin |obj_init - target| is body-based even though the obs tracks
+    # the handle (sawyer_door_close_v3.py reset_model)
     return dict(
         fixture_pos=door,
         target=target,
-        obj_init_pos=common.pad_obj_pos(handle0),
+        obj_init_pos=common.pad_obj_pos(door),
     )
 
 

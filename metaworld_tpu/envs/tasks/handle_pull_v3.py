@@ -41,10 +41,11 @@ def _reset(spec: TaskSpec, rand, rng):
     box = rand[:3]
     handle0 = box + jnp.array([0.05, -0.216, 0.163]) + jnp.array([0.0, 0.0, -0.1])
     target = box + jnp.array([0.0, -0.216, 0.172])
+    del handle0  # obs point; the reference's obj_init_pos is the BOX body
     return dict(
         fixture_pos=box,
         target=target,
-        obj_init_pos=common.pad_obj_pos(handle0),
+        obj_init_pos=common.pad_obj_pos(box),
         joint_q=jnp.array([-0.1, 0.0]),
     )
 

@@ -35,10 +35,13 @@ def _reset(spec: TaskSpec, rand, rng):
     # reference's obj_init_pos (reward margins) keeps z = 0.02
     obj_com = jnp.array([rand[0], rand[1], 0.07])
     obj_init = jnp.array([rand[0], rand[1], 0.02])
+    # the reference reads obj_init_pos BEFORE re-randomizing the puck, so
+    # its attr keeps the stale XML com z of 0.07 — margins key off it
+    obj_init_ref = jnp.array([rand[0], rand[1], 0.07])
     target = jnp.array([0.0, 0.84, 0.02])
     return dict(
         obj_pos=common.pad_obj_pos(obj_com),
-        obj_init_pos=common.pad_obj_pos(obj_init),
+        obj_init_pos=common.pad_obj_pos(obj_init_ref),
         target=target,
     )
 

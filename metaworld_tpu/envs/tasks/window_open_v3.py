@@ -26,11 +26,12 @@ _HANDLE_OFF = (-0.04, -0.095, 0.0)
 def _reset(spec: TaskSpec, rand, rng):
     window = rand[:3]
     target = window + jnp.array([0.2, 0.0, 0.0])
-    handle = window + jnp.asarray(_HANDLE_OFF)
+    # reference obj_init_pos is the WINDOW BODY (the rand vec); the handle
+    # start point only enters the reach margin (window_handle_pos_init)
     return dict(
         fixture_pos=window,
         target=target,
-        obj_init_pos=common.pad_obj_pos(handle),
+        obj_init_pos=common.pad_obj_pos(window),
     )
 
 
@@ -53,7 +54,8 @@ def _reward(spec: TaskSpec, state, obs, action):
     )
     handle_radius = 0.02
     tcp_to_obj = jnp.linalg.norm(obj - tcp)
-    tcp_to_obj_init = jnp.linalg.norm(state.obj_init_pos[0] - state.init_tcp)
+    handle_init = state.obj_init_pos[0] + jnp.asarray(_HANDLE_OFF)
+    tcp_to_obj_init = jnp.linalg.norm(handle_init - state.init_tcp)
     reach = reward_utils.tolerance(
         tcp_to_obj, bounds=(0, handle_radius),
         margin=jnp.abs(tcp_to_obj_init - handle_radius), sigmoid="long_tail",

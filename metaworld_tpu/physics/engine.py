@@ -48,7 +48,7 @@ from metaworld_tpu.types import (
 from metaworld_tpu.physics import maths
 
 # --- calibrated hand-tracking constants (fit on reference reach-v3 traces) ---
-TCP_OFFSET = jnp.array([0.0, 0.003, -0.0495])  # tcp rest offset from mocap
+TCP_OFFSET = jnp.array([0.0044, 0.0015, -0.0498])  # tcp rest offset from mocap (measured at the reference settle)
 HAND_TAU = 0.082                               # first-order tracking constant (s)
 # obs hand position = body("hand").xpos sits above the tcp (fingertip sites)
 HAND_BODY_OFFSET = jnp.array([0.0, 0.0, 0.045])

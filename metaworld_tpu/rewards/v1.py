@@ -290,9 +290,7 @@ def v1_sweep_into(spec, state, obs, action):
     reach_dist = _norm(fc - obj)
     push_dist = _norm(obj[:2] - state.target[:2])
     reach_completed = reach_dist < 0.05
-    # ref obj_init_pos is read before the puck is re-randomized (stale XML
-    # com, z=0.07), so the in-hole threshold 0.07 - 0.05 is a constant
-    in_hole = (obj[2] < 0.02) & (obj[1] > 0.4) & (obj[1] < 1.0)
+    in_hole = (obj[2] < state.obj_init_pos[0, 2] - 0.05) & (obj[1] > 0.4) & (obj[1] < 1.0)
     reach_rew = jnp.where(in_hole, 0.0, -reach_dist)
     push_dist = jnp.where(in_hole, 0.0, push_dist)
     max_push = _norm(state.obj_init_pos[0, :2] - state.target[:2])
@@ -443,7 +441,10 @@ def v1_door_close(spec, state, obs, action):
     fc = _tcp(state)
     pull_dist = _norm(obj[:2] - state.target[:2])
     reach_dist = _norm(obj - fc)
-    max_pull = _norm(state.obj_init_pos[0, :2] - state.target[:2])
+    # obj_init_pos is the DOOR BODY (v2 margins need it); the v1 margin is
+    # the fresh handle-geom read at reset = body + pivot + open-pose arm
+    handle0 = state.obj_init_pos[0, :2] + jnp.array([-0.2922, -0.4757])
+    max_pull = _norm(handle0 - state.target[:2])
     pull_rew = jnp.where(
         reach_dist < 0.05, jnp.maximum(_bonus(pull_dist, max_pull), 0.0), 0.0)
     reward = -reach_dist + pull_rew
