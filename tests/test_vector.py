@@ -108,3 +108,55 @@ def test_scripted_policy_through_vector():
         obs = out["obs"]
         succ = np.maximum(succ, np.asarray(out["success"]))
     assert succ.min() == 1.0
+
+
+def test_fused_matches_grouped():
+    """FusedBatchedEnvs (single-vmap physics + per-task tails) must produce
+    IDENTICAL trajectories to the grouped BatchedEnvs for the same keys —
+    the fusion is a pure performance transform."""
+    bench = benchmarks.MT10(seed=0)
+    names = list(bench.train_classes.keys())[:4]
+    kwargs = dict(
+        specs=[bench.train_classes[n] for n in names],
+        counts=[3] * 4,
+        goal_tables=[bench.goal_table(n) for n in names],
+        goal_visible=True,
+        max_episode_steps=30,
+    )
+    grouped = vector.BatchedEnvs(**kwargs)
+    fused = vector.FusedBatchedEnvs(**kwargs)
+    sg, og = grouped.reset(jax.random.PRNGKey(7))
+    sf, of = fused.reset(jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(og), np.asarray(of), atol=1e-6)
+    rng = np.random.default_rng(0)
+    for t in range(35):   # crosses the autoreset boundary at t=30
+        acts = jnp.asarray(rng.uniform(-1, 1, (12, 4)))
+        sg, outg = grouped.step(sg, acts)
+        sf, outf = fused.step(sf, acts)
+        for k in ("obs", "reward", "terminated", "truncated", "success"):
+            np.testing.assert_allclose(
+                np.asarray(outg[k]), np.asarray(outf[k]), atol=1e-5,
+                err_msg=f"key {k} diverged at t={t}")
+
+
+def test_next_step_autoreset_semantics():
+    """Gymnasium NEXT_STEP autoreset: at the horizon the env returns its
+    FINAL observation with truncated=True; the following step ignores the
+    action, returns the reset observation, reward 0, and no flags."""
+    bench = benchmarks.MT1("reach-v3", seed=0, num_goals=3)
+    envs = vector.from_benchmark(bench, envs_per_task=2, max_episode_steps=5)
+    state, obs0 = envs.reset(jax.random.PRNGKey(1))
+    acts = jnp.asarray(np.full((2, 4), 0.5))
+    for t in range(5):
+        state, out = envs.step(state, acts)
+    assert bool(np.asarray(out["truncated"]).all())
+    final_obs = np.asarray(out["obs"])
+    # the post-horizon step: fresh episode
+    state, out = envs.step(state, acts)
+    assert not bool(np.asarray(out["truncated"]).any())
+    assert not bool(np.asarray(out["terminated"]).any())
+    assert np.asarray(out["reward"]).max() == 0.0
+    reset_obs = np.asarray(out["obs"])
+    # reset obs is a fresh hand-at-init observation, not the final one
+    assert not np.allclose(reset_obs[:, :3], final_obs[:, :3], atol=1e-4)
+    assert bool(np.asarray(out["episode_length"]).max() == 1)
