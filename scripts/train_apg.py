@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard the env batch over an N-device mesh "
+                         "(0 = single device). Gradients are psum-reduced "
+                         "by XLA; params stay replicated.")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -54,7 +58,17 @@ def main():
     import metaworld_tpu as mw
 
     bench = mw.MT1(args.env, seed=args.seed)
-    envs = mw.vector.from_benchmark(bench, envs_per_task=args.envs_per_task)
+    if args.devices:
+        from metaworld_tpu.parallel import mesh as pmesh
+        from metaworld_tpu.parallel.sharded import ShardedEnvs
+
+        m = pmesh.make_env_mesh(args.devices)
+        envs = ShardedEnvs(bench, envs_per_task=args.envs_per_task, mesh=m)
+        env_reset_fn, env_step_fn = envs.reset, envs._step_sm
+    else:
+        envs = mw.vector.from_benchmark(bench,
+                                        envs_per_task=args.envs_per_task)
+        env_reset_fn, env_step_fn = envs.reset, envs.step
     obs_dim = envs.obs_dim
 
     class Pi(nn.Module):
@@ -71,12 +85,12 @@ def main():
     opt_state = tx.init(params)
 
     def episode(params, key):
-        vstate, obs = envs.reset(key)
+        vstate, obs = env_reset_fn(key)
 
         def body(carry, _):
             vstate, obs = carry
             act = model.apply(params, obs)
-            vstate, out = envs.step(vstate, act)
+            vstate, out = env_step_fn(vstate, act)
             return (vstate, out["obs"]), (out["reward"], out["success"])
 
         (_, _), (rews, succ) = jax.lax.scan(
