@@ -26,7 +26,7 @@ from metaworld_tpu.benchmarks import (  # noqa: F401
     CustomML,
     Task,
 )
-from metaworld_tpu import evaluation, vector, wrappers  # noqa: F401
+from metaworld_tpu import evaluation, parallel, vector, wrappers  # noqa: F401
 from metaworld_tpu.envs.registry import ALL_V3_ENVIRONMENTS  # noqa: F401
 from metaworld_tpu.gym_adapter import (  # noqa: F401
     SawyerEnv,
