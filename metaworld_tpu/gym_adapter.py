@@ -311,13 +311,16 @@ class GymVectorBatch(gym.vector.VectorEnv if _HAS_GYM else object):
                                             self.num_envs)
             self.observation_space = batch_space(self.single_observation_space,
                                                  self.num_envs)
-        self._seed = seed if seed is not None else 0
+        self._key = jax.random.PRNGKey(seed if seed is not None else 0)
         self._state = None
 
     def reset(self, *, seed=None, options=None):
         if seed is not None:
-            self._seed = seed
-        self._state, obs = self.envs.reset(jax.random.PRNGKey(self._seed))
+            self._key = jax.random.PRNGKey(seed)
+        # split so repeated unseeded resets sample fresh goals (gymnasium
+        # semantics: only an explicit seed pins the episode sequence)
+        self._key, sub = jax.random.split(self._key)
+        self._state, obs = self.envs.reset(sub)
         return np.asarray(obs), {}
 
     def step(self, actions):
