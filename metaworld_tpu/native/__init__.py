@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 _DIR = pathlib.Path(__file__).parent
-_SO = _DIR / "_trajstore.so"
+_SO = _DIR / "_trajstore.bin.so"  # dotted name: not an importable module candidate
 _MAGIC = 0x4D57545053544F52
 
 
