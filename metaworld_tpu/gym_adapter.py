@@ -28,6 +28,20 @@ except Exception:  # pragma: no cover
     _HAS_GYM = False
 
 
+_COMPILED: dict[int, tuple] = {}
+
+
+def _compiled_fns(spec):
+    """One jitted step/reset pair per TaskSpec instance (registry-cached) —
+    envs of the same task share the XLA compilation instead of re-tracing
+    per object. Keyed by identity: TaskSpec holds numpy arrays."""
+    key = id(spec)
+    if key not in _COMPILED:
+        _COMPILED[key] = (jax.jit(functools.partial(env_step, spec)),
+                          jax.jit(functools.partial(env_reset, spec)))
+    return _COMPILED[key]
+
+
 class SawyerEnv(gym.Env if _HAS_GYM else object):
     """Single-env Gymnasium API over the jitted core (the compatibility shim
     for parity testing against the reference; training should use
@@ -52,8 +66,7 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
         self.camera_name = camera_name or "topview"
         self.max_path_length = MAX_PATH_LENGTH
 
-        self._step_jit = jax.jit(functools.partial(env_step, self.spec_))
-        self._reset_jit = jax.jit(functools.partial(env_reset, self.spec_))
+        self._step_jit, self._reset_jit = _compiled_fns(self.spec_)
 
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed if seed is not None else 0)
