@@ -342,12 +342,36 @@ class GymVectorBatch(gym.vector.VectorEnv if _HAS_GYM else object):
                                           jnp.asarray(np.asarray(actions)))
         infos = {k: np.asarray(v) for k, v in out.items()
                  if k not in ("obs", "reward", "terminated", "truncated")}
+        # the reference's eval loops read final_info at done steps
+        # (ref metaworld/evaluation.py:78-82); the engine's episode_return
+        # at the done step already holds the full episode total
+        infos["final_info"] = {
+            "episode": {"r": infos["episode_return"],
+                        "l": infos["episode_length"]},
+            "success": infos["success"],
+        }
         return (np.asarray(out["obs"]), np.asarray(out["reward"]),
                 np.asarray(out["terminated"]), np.asarray(out["truncated"]),
                 infos)
 
     def get_attr(self, name):
+        if name == "task_name":
+            return self.envs.env_task_names()
+        if name == "terminate_on_success":
+            return [self.envs.terminate_on_success] * self.num_envs
         return getattr(self.envs, name)
+
+    def call(self, method, *args):
+        """Minimal `.call` support for the reference's evaluation protocol
+        (toggle_terminate_on_success, ref evaluation.py:54,96)."""
+        if method == "toggle_terminate_on_success":
+            engine = self.envs
+            while not hasattr(engine, "terminate_on_success"):
+                engine = engine.envs     # unwrap EnvPipeline
+            engine.terminate_on_success = bool(args[0])
+            engine._step_jit = jax.jit(engine._step_impl)  # retrace w/ flag
+            return [None] * self.num_envs
+        raise AttributeError(method)
 
     def close(self):
         pass

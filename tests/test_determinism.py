@@ -87,3 +87,36 @@ def test_gym_make_vec_registry():
                       seed=2, split="test", envs_per_task=2)
     o, _ = e3.reset()
     assert o.shape == (2, 39)
+
+
+def test_reference_eval_loop_pattern_on_facade():
+    """The reference's evaluation() consumption pattern — get_attr
+    ('task_name'), call('toggle_terminate_on_success'), final_info episode
+    returns + success at done steps (ref metaworld/evaluation.py:48-103) —
+    must run unmodified against the gym.make_vec facade."""
+    import jax.numpy as jnp
+
+    from metaworld_tpu.evaluation import ScriptedAgent
+
+    mw.register_mw_envs()
+    env = gym.make_vec("Meta-World/MT10", seed=0, envs_per_task=1).unwrapped
+    task_names = env.get_attr("task_name")
+    assert len(task_names) == env.num_envs
+    env.call("toggle_terminate_on_success", True)
+    obs, _ = env.reset()
+    agent = ScriptedAgent(env.envs)
+    returns = {t: [] for t in set(task_names)}
+    succ = {t: 0 for t in set(task_names)}
+    for _ in range(1200):
+        acts = agent.eval_action(jnp.asarray(obs))
+        obs, _, term, trunc, infos = env.step(np.asarray(acts))
+        for i, d in enumerate(np.asarray(term | trunc)):
+            if d:
+                returns[task_names[i]].append(
+                    float(infos["final_info"]["episode"]["r"][i]))
+                succ[task_names[i]] += int(infos["final_info"]["success"][i])
+        if all(len(r) >= 1 for r in returns.values()):
+            break
+    assert all(len(r) >= 1 for r in returns.values())
+    rate = np.mean([s / max(len(returns[t]), 1) for t, s in succ.items()])
+    assert rate >= 0.8
