@@ -32,9 +32,13 @@ def _reset(spec: TaskSpec, rand, rng):
     box = rand[3:6]
     target = box + jnp.array([0.03, 0.0, 0.13])
     head0 = peg + jnp.asarray(_HEAD_OFF)
+    # reference obj_init_pos is the peg BODY COM (rand_x, rand_y, 0.02);
+    # the pegGrasp obs site sits (+0.03, 0, +0.01) off it. Margins and the
+    # lift thresholds key off the com (sawyer_peg_insertion_side_v3.py).
+    peg_com = jnp.array([rand[0], rand[1], 0.02])
     return dict(
         obj_pos=common.pad_obj_pos(peg),
-        obj_init_pos=common.pad_obj_pos(peg),
+        obj_init_pos=common.pad_obj_pos(peg_com),
         target=target,
         extras=common.extras_vec(head0[0], head0[1], head0[2]),
     )

@@ -686,9 +686,7 @@ def v1_peg_insert_side(spec, state, obs, action):
     5 cm of the goal. pegHead = obs + (-0.13, 0, -0.01) (site offset)."""
     obj = obs[4:7]
     peg_head = obj + jnp.array([-0.13, 0.0, -0.01])
-    # margins are body-com based; our obj_init is the pegGrasp site obs,
-    # offset (+0.03, 0, +0.01) from the com
-    peg_com_init = state.obj_init_pos[0] + jnp.array([-0.03, 0.0, -0.01])
+    peg_com_init = state.obj_init_pos[0]   # stored as the body com
     obj_height = peg_com_init[2]
     height_target = obj_height + 0.11
     placing_dist = _norm(obj - state.target)
