@@ -15,7 +15,8 @@ import numpy as np
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec, gripper_caging_reward, touching_main_object
 from metaworld_tpu.envs.tasks import common
-from metaworld_tpu.envs.tasks.stick_push_v3 import _THERMOS0_COM, stick_scene, thermos_obs
+from metaworld_tpu.envs.tasks.stick_push_v3 import (
+    _THERMOS0_COM, _THERMOS0_REF_INIT, stick_scene, thermos_obs)
 from metaworld_tpu.rewards import utils as reward_utils
 
 _STICK_END_OFF = (0.13, 0.0, 0.0)
@@ -31,7 +32,7 @@ def _reset(spec: TaskSpec, rand, rng):
     thermos = jnp.asarray(_THERMOS0_COM)
     return dict(
         obj_pos=common.pad_obj_pos(stick, thermos),
-        obj_init_pos=common.pad_obj_pos(thermos),
+        obj_init_pos=common.pad_obj_pos(jnp.asarray(_THERMOS0_REF_INIT)),
         target=target,
         extras=common.extras_vec(stick[0], stick[1], stick[2]),
     )

@@ -17,7 +17,8 @@ from metaworld_tpu.envs.scene_builder import FreeObj, build_scene
 from metaworld_tpu.envs.tasks import common
 from metaworld_tpu.rewards import utils as reward_utils
 
-_THERMOS0_COM = (0.25, 0.6, 0.132)   # container body COM
+_THERMOS0_COM = (0.25, 0.6, 0.132)   # container body COM (physical)
+_THERMOS0_REF_INIT = (0.2, 0.6, 0.0)  # reference get_body_com at reset
 _THERMOS_OBS_OFF = (-0.05, 0.0, 0.0)  # observed handle site rel. COM
 
 
@@ -49,9 +50,11 @@ def _reset(spec: TaskSpec, rand, rng):
     stick = jnp.array([rand[0], rand[1], 0.02])
     target = jnp.array([rand[3], rand[4], 0.132])
     thermos = jnp.asarray(_THERMOS0_COM)
+    # the reference's obj_init_pos attr is get_body_com("object") at reset
+    # = (0.2, 0.6, 0); the physical container sits at _THERMOS0_COM
     return dict(
         obj_pos=common.pad_obj_pos(stick, thermos),
-        obj_init_pos=common.pad_obj_pos(thermos),  # reference obj_init = body COM
+        obj_init_pos=common.pad_obj_pos(jnp.asarray(_THERMOS0_REF_INIT)),
         target=target,
         extras=common.extras_vec(stick[0], stick[1], stick[2]),
     )

@@ -879,9 +879,7 @@ def _v1_stick(obs, action, state, *, second_bonus_c=(C2, C3),
     dropped = (stick[2] < stick_height + 0.005) & (push_dist > 0.02) & (reach_dist > 0.02)
     pick_rew = _pick_rew(stick[2], height_target, stick_height, reach_dist,
                          dropped, pick_done)
-    # reference obj_init_pos for the stick tasks is the fixed container
-    # origin (0.2, 0.6, 0) — the thermos never randomizes
-    cont_init = jnp.array([0.2, 0.6, 0.0])
+    cont_init = state.obj_init_pos[0]   # the fixed container origin
     max_place = _norm(
         jnp.array([cont_init[0], cont_init[1], height_target])
         - stick_init) + height_target

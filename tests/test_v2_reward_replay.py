@@ -34,8 +34,8 @@ _UNMUT = {
 _BOUNDS = {
     "sweep-into-v3": 0.06,      # caging-grip component noise
     "door-open-v3": 0.06,       # door angle re-derived from the obs handle
-    "peg-insert-side-v3": 0.12,  # pegHead approximated as obs + const
-    "stick-pull-v3": 0.12,      # stick end / thermos com offsets
+    "peg-insert-side-v3": 0.10,  # pegHead approximated as obs + const
+    "stick-pull-v3": 0.04,      # stick-end site under stick rotation
     "hammer-v3": 0.03,
 }
 _EXEMPT = {"assembly-v3", "disassemble-v3"}  # rewards read the rotating
