@@ -740,7 +740,7 @@ def v1_assembly(spec, state, obs, action):
     (obs), objPos = RoundNut body com = obs + (-0.13, 0, 0); xy placing
     distance + a final z-descent term once over the peg."""
     grasp = obs[4:7]
-    nut = grasp + jnp.array([-0.13, 0.0, 0.0])
+    nut = state.sim.obj_pos[0]     # RoundNut body com — exact in our engine
     fc = _tcp(state)
     obj_height = state.obj_init_pos[0, 2]
     height_target = obj_height + 0.1
@@ -784,7 +784,7 @@ def v1_disassemble(spec, state, obs, action):
     obs; once the nut com clears the peg in xy, reach is zeroed and pickRew
     is pinned to heightTarget*100."""
     obj = obs[4:7]
-    nut = obj + jnp.array([-0.13, 0.0, 0.0])
+    nut = state.sim.obj_pos[0]     # RoundNut body com — exact in our engine
     fc = _tcp(state)
     obj_height = state.obj_init_pos[0, 2]
     height_target = obj_height + 0.05

@@ -28,9 +28,13 @@ GOLD = "tests/golden_v1"
 
 # (max fraction of mismatching steps, max p95 relative error)
 _BOUNDS = {
-    "assembly-v3": (0.95, 0.05),   # nut COM = obs - 0.13 only at quat I
+    "assembly-v3": (0.05, 0.02),
+    "disassemble-v3": (0.05, 0.02),
     "hammer-v3": (0.80, 0.30),     # head geom offset rotates in the grip
 }
+# these rewards read the nut COM via sim.obj_pos; the replay injects the
+# recorded reference nut_com trace for it
+_QPOS_OBJ = {"assembly-v3", "disassemble-v3"}
 _DEFAULT_BOUNDS = (0.01, 5e-3)
 
 # the reference door policies mutate the recorded obs in place (see
@@ -66,16 +70,21 @@ def test_v1_reward_parity(name):
         # our obs[11:14] IS the nailHead site; the reference's is the
         # nail_link body com — substitute the recorded site
         obs[:, 11:14] = d["nail_head"]
+    QPOS = d["nut_com"] if (name in _QPOS_OBJ and "nut_com" in d) else None
 
-    def one(o, a, tcp):
-        st = state.replace(sim=state.sim.replace(hand=tcp))
+    def one(o, a, tcp, qp):
+        sim = state.sim.replace(hand=tcp)
+        if qp is not None:
+            sim = sim.replace(obj_pos=sim.obj_pos.at[0].set(qp))
+        st = state.replace(sim=sim)
         return spec.reward_fn(spec, st, o, a).reward
 
-    f = jax.jit(jax.vmap(one))
+    f = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None if QPOS is None else 0)))
+    qp_arg = None if QPOS is None else jnp.asarray(QPOS[1:])
     # reward[t] is computed from the POST-step obs (ref sawyer_xyz_env.py
     # step(): evaluate_state(self._last_stable_obs)), i.e. obs[t+1]
     ours = np.asarray(f(jnp.asarray(obs[1:]), jnp.asarray(d["action"][:-1]),
-                        jnp.asarray(d["tcp"][1:])))
+                        jnp.asarray(d["tcp"][1:]), qp_arg))
     ref = d["reward"][:-1]
 
     err = np.abs(ours - ref)
