@@ -68,7 +68,8 @@ ML45_TRAIN = [n for n in MT50_LIST if n not in ML45_TEST]
 # value = minimum separation between v[:2] and v[3:5]; callables for special
 # cases.
 _REJECT_SEP = {
-    "reach-v3": 0.15, "push-v3": 0.15, "pick-place-v3": 0.15,
+    "reach-v3": 0.15, "reach-wall-v3": 0.15, "push-v3": 0.15,
+    "pick-place-v3": 0.15,
     "push-wall-v3": 0.15, "pick-place-wall-v3": 0.15, "push-back-v3": 0.15,
     "soccer-v3": 0.15, "coffee-pull-v3": 0.15, "coffee-push-v3": 0.15,
     "hand-insert-v3": 0.15, "pick-out-of-hole-v3": 0.15, "basketball-v3": 0.15,
@@ -170,65 +171,71 @@ def MT1(env_name: str, seed: int | None = None,
     )
 
 
-def _mt(names: list[str], seed=None) -> Benchmark:
+def _mt(names: list[str], seed=None, num_goals: int = _N_GOALS) -> Benchmark:
     return Benchmark(
         train_classes=_specs(names),
         test_classes={},
-        train_tasks=_make_tasks(names, seed, partially_observable=False),
+        train_tasks=_make_tasks(names, seed, partially_observable=False,
+                                n_goals=num_goals),
         test_tasks=[],
     )
 
 
-def MT10(seed: int | None = None) -> Benchmark:
-    return _mt(MT10_LIST, seed)
+def MT10(seed: int | None = None, num_goals: int = _N_GOALS) -> Benchmark:
+    return _mt(MT10_LIST, seed, num_goals)
 
 
-def MT25(seed: int | None = None) -> Benchmark:
-    return _mt(MT25_LIST, seed)
+def MT25(seed: int | None = None, num_goals: int = _N_GOALS) -> Benchmark:
+    return _mt(MT25_LIST, seed, num_goals)
 
 
-def MT50(seed: int | None = None) -> Benchmark:
-    return _mt(MT50_LIST, seed)
+def MT50(seed: int | None = None, num_goals: int = _N_GOALS) -> Benchmark:
+    return _mt(MT50_LIST, seed, num_goals)
 
 
-def ML1(env_name: str, seed: int | None = None) -> Benchmark:
+def ML1(env_name: str, seed: int | None = None,
+        num_goals: int = _N_GOALS) -> Benchmark:
     """Meta-RL on one env: train and test goals from disjoint seeds
     (ref :271-299 — test seed = seed + 1)."""
     assert env_name in registry.TASK_ID, f"unknown env {env_name}"
     return Benchmark(
         train_classes=_specs([env_name]),
         test_classes=_specs([env_name]),
-        train_tasks=_make_tasks([env_name], seed, partially_observable=True),
+        train_tasks=_make_tasks([env_name], seed, partially_observable=True,
+                                n_goals=num_goals),
         test_tasks=_make_tasks(
             [env_name], seed + 1 if seed is not None else None,
-            partially_observable=True,
+            partially_observable=True, n_goals=num_goals,
         ),
     )
 
 
-def _ml(train: list[str], test: list[str], seed=None) -> Benchmark:
+def _ml(train: list[str], test: list[str], seed=None,
+        num_goals: int = _N_GOALS) -> Benchmark:
     return Benchmark(
         train_classes=_specs(train),
         test_classes=_specs(test),
-        train_tasks=_make_tasks(train, seed, partially_observable=True),
-        test_tasks=_make_tasks(test, seed, partially_observable=True),
+        train_tasks=_make_tasks(train, seed, partially_observable=True,
+                                n_goals=num_goals),
+        test_tasks=_make_tasks(test, seed, partially_observable=True,
+                               n_goals=num_goals),
     )
 
 
-def ML10(seed: int | None = None) -> Benchmark:
-    return _ml(ML10_TRAIN, ML10_TEST, seed)
+def ML10(seed: int | None = None, num_goals: int = _N_GOALS) -> Benchmark:
+    return _ml(ML10_TRAIN, ML10_TEST, seed, num_goals)
 
 
-def ML25(seed: int | None = None) -> Benchmark:
-    return _ml(ML25_TRAIN, ML25_TEST, seed)
+def ML25(seed: int | None = None, num_goals: int = _N_GOALS) -> Benchmark:
+    return _ml(ML25_TRAIN, ML25_TEST, seed, num_goals)
 
 
-def ML45(seed: int | None = None) -> Benchmark:
-    return _ml(ML45_TRAIN, ML45_TEST, seed)
+def ML45(seed: int | None = None, num_goals: int = _N_GOALS) -> Benchmark:
+    return _ml(ML45_TRAIN, ML45_TEST, seed, num_goals)
 
 
 def CustomML(train_envs: list[str], test_envs: list[str],
-             seed: int | None = None) -> Benchmark:
+             seed: int | None = None, num_goals: int = _N_GOALS) -> Benchmark:
     """(ref :370-395 — train and test sets must be disjoint)"""
     assert not set(train_envs) & set(test_envs), "train and test must not overlap"
-    return _ml(train_envs, test_envs, seed)
+    return _ml(train_envs, test_envs, seed, num_goals)

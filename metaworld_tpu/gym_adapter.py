@@ -251,9 +251,9 @@ def make_mt_envs(name: str, seed: int | None = None, num_goals: int = 50,
     from metaworld_tpu import vector
 
     if name in ("MT10", "MT25", "MT50"):
-        bench = getattr(benchmarks, name)(seed=seed)
+        bench = getattr(benchmarks, name)(seed=seed, num_goals=num_goals)
     else:
-        bench = benchmarks.MT1(name, seed=seed)
+        bench = benchmarks.MT1(name, seed=seed, num_goals=num_goals)
     pk = _split_pipeline_kwargs(kwargs)
     envs = vector.from_benchmark(
         bench,
@@ -267,15 +267,16 @@ def make_mt_envs(name: str, seed: int | None = None, num_goals: int = 50,
 
 
 def make_ml_envs(name: str, seed: int | None = None,
-                 meta_batch_size: int = 20, split: str = "train", **kwargs):
+                 meta_batch_size: int = 20, split: str = "train",
+                 num_goals: int = 50, **kwargs):
     """ML benchmark batch (ref make_ml_envs :565-593): `meta_batch_size` env
     slots striped over the split's envs (ref task striping :540)."""
     from metaworld_tpu import vector
 
     if name in ("ML10", "ML25", "ML45"):
-        bench = getattr(benchmarks, name)(seed=seed)
+        bench = getattr(benchmarks, name)(seed=seed, num_goals=num_goals)
     else:
-        bench = benchmarks.ML1(name, seed=seed)
+        bench = benchmarks.ML1(name, seed=seed, num_goals=num_goals)
     classes = bench.train_classes if split == "train" else bench.test_classes
     n_envs = len(classes)
     assert meta_batch_size % n_envs == 0, (

@@ -24,15 +24,11 @@ def _build() -> pathlib.Path:
     src = _DIR / "trajstore.cpp"
     if _SO.exists() and _SO.stat().st_mtime >= src.stat().st_mtime:
         return _SO
-    # <deque> is pulled in transitively on some libstdc++ versions only
-    tmp = _DIR / "_trajstore_build.cpp"
-    tmp.write_text("#include <deque>\n" + src.read_text())
     subprocess.run(
         ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
-         str(tmp), "-o", str(_SO)],
+         str(src), "-o", str(_SO)],
         check=True,
     )
-    tmp.unlink()
     return _SO
 
 

@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -75,7 +76,10 @@ class TrajStore {
 
   void Flush() {
     std::unique_lock<std::mutex> lk(mu_);
-    flush_cv_.wait(lk, [this] { return queue_.empty(); });
+    // A record leaves queue_ BEFORE its fwrite happens, so queue_.empty()
+    // alone would let Flush return (and fflush race the fwrite) while the
+    // last record is still being written; in_flight_ covers that window.
+    flush_cv_.wait(lk, [this] { return queue_.empty() && in_flight_ == 0; });
     if (file_) std::fflush(file_);
   }
 
@@ -99,6 +103,7 @@ class TrajStore {
         }
         rec = queue_.front();
         queue_.pop_front();
+        ++in_flight_;  // under mu_: Flush must wait for this record's fwrite
       }
       scratch.resize(rec.nbytes);
       size_t first = std::min<size_t>(rec.nbytes, capacity_ - rec.offset);
@@ -114,7 +119,8 @@ class TrajStore {
       {
         std::unique_lock<std::mutex> lk(mu_);
         used_ -= rec.nbytes;
-        if (queue_.empty()) flush_cv_.notify_all();
+        --in_flight_;
+        if (queue_.empty() && in_flight_ == 0) flush_cv_.notify_all();
       }
     }
   }
@@ -123,6 +129,7 @@ class TrajStore {
   size_t capacity_;
   size_t head_ = 0;
   size_t used_ = 0;
+  size_t in_flight_ = 0;  // records popped from queue_ but not yet on disk
   std::deque<Record> queue_;
   std::mutex mu_;
   std::condition_variable cv_;

@@ -347,7 +347,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 pos, vel, scene.obj_radius, scene.obj_half_h, blend_by_type,
                 scene.obj_type,
             )
-            free = (sim.attached == 0) & (scene.obj_exists > 0) & ~pinned_anchor & ~pinned_anchor
+            free = (sim.attached == 0) & (scene.obj_exists > 0) & ~pinned_anchor
             pos = jnp.where(free[:, None], p2, pos)
             vel = jnp.where(free[:, None], v2, vel)
 

@@ -208,9 +208,17 @@ class BatchedEnvs:
             outs["done"].append(done)
             outs["episode_return"].append(ep_ret)
             outs["episode_length"].append(ep_len)
+            # On an autoreset step the slot's obs come from the fresh reset,
+            # so the stale env's step metrics must not leak: Gymnasium's
+            # NEXT_STEP autoreset returns reset-infos (no step metrics) there.
+            # Unmasked, a terminate_on_success env would re-report success=1
+            # on the first step of every following episode.
             for k in ("success", "near_object", "grasp_success", "grasp_reward",
                       "in_place_reward", "obj_to_target", "unscaled_reward"):
-                outs[k].append(getattr(out, k))
+                v = getattr(out, k)
+                if self.autoreset:
+                    v = jnp.where(g.pending_reset, 0.0, v)
+                outs[k].append(v)
 
         cat = {k: jnp.concatenate(v, axis=0) for k, v in outs.items()}
         cat["obs"] = self._augment(cat["obs"])
@@ -350,6 +358,14 @@ class FusedBatchedEnvs(BatchedEnvs):
             reward = jnp.where(pending, 0.0, out.reward)
             terminated = jnp.where(pending, False, terminated)
             truncated = jnp.where(pending, False, truncated)
+            # mask the stale env's step metrics on autoreset slots (see the
+            # grouped variant: NEXT_STEP autoreset returns reset-infos there)
+            out = out.replace(**{
+                k: jnp.where(pending, 0.0, getattr(out, k))
+                for k in ("success", "near_object", "grasp_success",
+                          "grasp_reward", "in_place_reward", "obj_to_target",
+                          "unscaled_reward")
+            })
         else:
             obs, keys, reward = out.obs, vstate.key, out.reward
 

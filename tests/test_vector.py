@@ -30,6 +30,26 @@ def test_tasks_unique_and_counted():
     assert len(vecs) == 50
 
 
+def test_num_goals_plumbed_through_factories():
+    """`num_goals` must reach the benchmark constructors (ref __init__.py:
+    618-621 num_goals mutates _N_GOALS): asking for 4 goals yields 4-row
+    goal tables at every level."""
+    from metaworld_tpu.gym_adapter import make_ml_envs, make_mt_envs
+
+    mt1 = benchmarks.MT1("reach-v3", seed=1, num_goals=4)
+    assert len(mt1.train_tasks) == 4
+    assert mt1.goal_table("reach-v3").shape[0] == 4
+    mt10 = benchmarks.MT10(seed=1, num_goals=4)
+    assert len(mt10.train_tasks) == 10 * 4
+    ml1 = benchmarks.ML1("reach-v3", seed=1, num_goals=4)
+    assert len(ml1.train_tasks) == 4 and len(ml1.test_tasks) == 4
+
+    envs = make_mt_envs("reach-v3", seed=1, num_goals=4)
+    assert envs.goal_tables[0].shape[0] == 4
+    envs = make_ml_envs("reach-v3", seed=1, meta_batch_size=2, num_goals=4)
+    assert envs.goal_tables[0].shape[0] == 4
+
+
 def test_same_seed_same_tasks():
     a = benchmarks.MT10(seed=3)
     b = benchmarks.MT10(seed=3)
