@@ -65,9 +65,20 @@ class TaskSpec:
     reset_fn: Callable = None
     # reward_fn(spec, state, obs, action) -> EvalOut
     reward_fn: Callable = None
-    # obs_fn(spec, state) -> (obj_pos (MAX_OBJ,3), obj_quat_xyzw (MAX_OBJ,4))
+    # obs_fn(spec, state) -> (obj_pos (MAX_OBJ,3), obj_quat (MAX_OBJ,4))
     obs_fn: Callable = None
     n_obs_obj: int = 1                       # how many object slots are real
+    # --- observation quats (ref _get_quat_objects per env) ---
+    # absolute body orientation at reset, wxyz (MAX_OBJ, 4); None = identity
+    obj_quat0: np.ndarray = None
+    # per-slot emission convention: "xyzw" (scipy Rotation envs, e.g.
+    # sawyer_reach_v3.py:104-105), "wxyz" (mujoco body xquat envs, e.g.
+    # sawyer_hammer_v3.py:96-99), "zeros" (e.g. sawyer_drawer_close_v3.py)
+    quat_style: tuple = ("xyzw", "xyzw")
+    # fixture-driven orientation: compose R(joint_axis[j], joint_q[j]) for
+    # slot i when quat_joint[i] = j >= 0 (doors/lever, whose reported body
+    # rotates with the hinge)
+    quat_joint: tuple = (-1, -1)
 
     @property
     def rand_dim(self) -> int:
@@ -90,17 +101,47 @@ class TaskSpec:
             lo, hi = obs_bounds(self, False)
             return jnp.asarray(lo), jnp.asarray(hi)
 
+    @functools.cached_property
+    def quat0_device(self):
+        with jax.ensure_compile_time_eval():
+            if self.obj_quat0 is None:
+                return jnp.tile(maths.quat_identity(), (MAX_OBJ, 1))
+            return jnp.asarray(self.obj_quat0)
+
 
 # ---------------------------------------------------------------------------
 # observation assembly (ref sawyer_xyz_env.py:475-527)
 # ---------------------------------------------------------------------------
 
 
+def live_obj_quat(spec: TaskSpec, state: EnvState) -> jnp.ndarray:
+    """(MAX_OBJ, 4) object quaternions as the reference reports them
+    (ref _get_curr_obs_combined_no_goal, sawyer_xyz_env.py:475-511): the
+    live absolute orientation — engine delta rotation (plus the fixture
+    hinge rotation for joint-mounted bodies) composed onto the task's reset
+    orientation — emitted in the per-env convention (mujoco body xquat =
+    wxyz, scipy Rotation.as_quat = xyzw, or zeros)."""
+    scene = spec.scene_device
+    rows = []
+    for i in range(MAX_OBJ):
+        style = spec.quat_style[i] if i < len(spec.quat_style) else "xyzw"
+        if style == "zeros":
+            rows.append(jnp.zeros(4))
+            continue
+        qd = state.sim.obj_quat[i]
+        j = spec.quat_joint[i] if i < len(spec.quat_joint) else -1
+        if j >= 0:
+            qj = maths.axis_angle_quat(scene.joint_axis[j],
+                                       state.sim.joint_q[j])
+            qd = maths.quat_mul(qj, qd)
+        q_abs = maths.quat_mul(qd, spec.quat0_device[i])
+        rows.append(maths.quat_to_xyzw(q_abs) if style == "xyzw" else q_abs)
+    return jnp.stack(rows)
+
+
 def default_obs_fn(spec: TaskSpec, state: EnvState):
-    """Objects report their body COM and identity quaternion (xyzw)."""
-    pos = state.sim.obj_pos
-    quat = maths.quat_to_xyzw(state.sim.obj_quat)
-    return pos, quat
+    """Objects report their body COM and live orientation."""
+    return state.sim.obj_pos, live_obj_quat(spec, state)
 
 
 def curr_obs18(spec: TaskSpec, state: EnvState) -> jnp.ndarray:
@@ -215,6 +256,7 @@ def base_sim_state(spec: TaskSpec) -> SimState:
     scene = spec.scene_device
     hand_init = jnp.asarray(spec.hand_init_pos)
     mocap, tcp = engine.settled_hand_state(scene, hand_init)
+    pad_l0, pad_r0 = engine.pad_kinematics(tcp, jnp.ones(()))
     z = jnp.zeros
     return SimState(
         mocap=mocap,
@@ -234,6 +276,8 @@ def base_sim_state(spec: TaskSpec) -> SimState:
         hooked=z(MAX_JOINT),
         pad_force_l=z(()),
         pad_force_r=z(()),
+        pad_l=pad_l0,
+        pad_r=pad_r0,
         fixture_pos=z(3),
     )
 

@@ -36,6 +36,7 @@ class FreeObj:
     anchored: bool = False      # held in place (socketed) until first grasped
     tool_off: tuple = (0.0, 0.0, 0.0)  # tool point rel. COM (hammer head, stick tip)
     grasp_off: tuple = (0.0, 0.0, 0.0)  # grasp point rel. COM (handles, knobs)
+    droop: float = 0.0  # equilibrium in-grip pitch about the pad axis (rad)
 
 
 @dataclasses.dataclass
@@ -100,6 +101,7 @@ def build_scene(
         obj_grasp_halfwidth=pad([x.grasp_halfwidth for x in o], MAX_OBJ).astype(f),
         obj_anchored=pad([float(x.anchored) for x in o], MAX_OBJ).astype(f),
         obj_tool_off=pad([x.tool_off for x in o], MAX_OBJ, 3).astype(f),
+        obj_droop=pad([x.droop for x in o], MAX_OBJ).astype(f),
         obj_grasp_off=pad([x.grasp_off for x in o], MAX_OBJ, 3).astype(f),
         link_enable=np.asarray(float(link_enable), dtype=f),
         link_handle_off=np.asarray(link_handle_off, dtype=f),

@@ -16,6 +16,7 @@ from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec, gripper_caging_reward
 from metaworld_tpu.envs.scene_builder import FreeObj, build_scene
 from metaworld_tpu.envs.tasks import common
+from metaworld_tpu.physics import maths
 from metaworld_tpu.rewards import utils as reward_utils
 
 _HANDLE_OFF = (0.13, 0.0, 0.0)
@@ -37,9 +38,9 @@ def _reset(spec: TaskSpec, rand, rng):
 
 
 def assembly_obs(spec: TaskSpec, state):
-    pos = state.sim.obj_pos + jnp.array([[1.0], [0.0]]) * jnp.asarray(_HANDLE_OFF)[None, :]
-    quat = jnp.tile(jnp.array([0.71, 0.0, 0.0, 0.71]), (2, 1))
-    return pos, quat
+    off = maths.quat_rotate(state.sim.obj_quat[0], jnp.asarray(_HANDLE_OFF))
+    pos = state.sim.obj_pos + jnp.array([[1.0], [0.0]]) * off[None, :]
+    return pos, common.live_quat(spec, state)
 
 
 def _reward(spec: TaskSpec, state, obs, action):
@@ -93,7 +94,8 @@ def _reward(spec: TaskSpec, state, obs, action):
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         objs=[FreeObj(radius=0.04, half_h=0.02, graspable=True,
-                      grasp_halfwidth=0.015, grasp_off=(0.13, 0.0, 0.0))],
+                      grasp_halfwidth=0.015, grasp_off=(0.13, 0.0, 0.0),
+                      droop=0.03)],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )
@@ -109,5 +111,9 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         obs_fn=assembly_obs,
+        # RoundNut body xquat (ref sawyer_assembly_peg_v3.py:108-109)
+        obj_quat0=np.array([[0.70710678, 0.0, 0.0, 0.70710678],
+                            [1.0, 0.0, 0.0, 0.0]]),
+        quat_style=("wxyz", "wxyz"),
         n_obs_obj=1,
     )

@@ -101,7 +101,8 @@ def _reward(spec: TaskSpec, state, obs, action):
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         # the cube rests on the bin floor 1 cm above the table
-        objs=[FreeObj(radius=0.02, half_h=0.03, graspable=True, grasp_halfwidth=0.022)],
+        objs=[FreeObj(radius=0.02, half_h=0.03, graspable=True, grasp_halfwidth=0.022,
+                      droop=0.02)],
         mocap_low=(-0.5, 0.40, 0.07),
         mocap_high=(0.5, 1.0, 0.5),
     )
@@ -117,4 +118,6 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         n_obs_obj=1,
+        # ref emits the body xquat (wxyz identity at rest)
+        quat_style=("wxyz", "wxyz"),
     )

@@ -15,6 +15,7 @@ from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec
 from metaworld_tpu.envs.scene_builder import FreeObj, StaticBox, build_scene
 from metaworld_tpu.envs.tasks import common
+from metaworld_tpu.physics import maths
 from metaworld_tpu.rewards import utils as reward_utils
 
 _HANDLE_OFF = (0.0, 0.0, 0.075)
@@ -37,9 +38,9 @@ def _reset(spec: TaskSpec, rand, rng):
 
 
 def _obs(spec: TaskSpec, state):
-    pos = state.sim.obj_pos + jnp.array([[1.0], [0.0]]) * jnp.asarray(_HANDLE_OFF)[None, :]
-    quat = jnp.tile(jnp.array([0.71, 0.0, 0.0, 0.71]), (2, 1))
-    return pos, quat
+    off = maths.quat_rotate(state.sim.obj_quat[0], jnp.asarray(_HANDLE_OFF))
+    pos = state.sim.obj_pos + jnp.array([[1.0], [0.0]]) * off[None, :]
+    return pos, common.live_quat(spec, state)
 
 
 def _reward(spec: TaskSpec, state, obs, action):
@@ -95,7 +96,8 @@ def _reward(spec: TaskSpec, state, obs, action):
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         objs=[FreeObj(radius=0.04, half_h=0.02, graspable=True,
-                      grasp_halfwidth=0.018, grasp_off=(0.0, 0.0, 0.075))],
+                      grasp_halfwidth=0.018, grasp_off=(0.0, 0.0, 0.075),
+                      droop=0.10)],
         # the open box the lid gets placed on
         boxes=[StaticBox(pos=(0.0, 0.0, 0.02), size=(0.09, 0.09, 0.02),
                          rel_fixture=True)],
@@ -114,5 +116,9 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         obs_fn=_obs,
+        # BoxHandle body xquat (ref sawyer_box_close_v3.py)
+        obj_quat0=np.array([[0.70710678, 0.0, 0.0, 0.70710678],
+                            [1.0, 0.0, 0.0, 0.0]]),
+        quat_style=("wxyz", "wxyz"),
         n_obs_obj=1,
     )

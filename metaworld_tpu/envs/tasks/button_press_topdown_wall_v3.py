@@ -63,5 +63,8 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         obs_fn=_obs,
+        obj_quat0=np.array([[0.70710678, -0.70710678, 0.0, 0.0],
+                            [1.0, 0.0, 0.0, 0.0]]),
+        quat_style=("wxyz", "wxyz"),
         n_obs_obj=1,
     )

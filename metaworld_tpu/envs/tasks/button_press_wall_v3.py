@@ -90,5 +90,6 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         obs_fn=_obs,
+        quat_style=("wxyz", "wxyz"),
         n_obs_obj=1,
     )

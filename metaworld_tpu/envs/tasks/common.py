@@ -6,8 +6,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from metaworld_tpu.envs.core import EvalOut
+from metaworld_tpu.envs.core import EvalOut, live_obj_quat
 from metaworld_tpu.types import MAX_OBJ, N_EXTRAS
+
+
+def live_quat(spec, state):
+    """Live object quaternions in the task's reference convention
+    (core.live_obj_quat) — for custom obs_fns that override positions."""
+    return live_obj_quat(spec, state)
 
 
 def pad_obj_pos(*positions):

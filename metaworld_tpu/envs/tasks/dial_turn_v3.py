@@ -41,7 +41,7 @@ def _obs(spec: TaskSpec, state):
     handle = engine.fixture_handle_pos(
         spec.scene_device, state.sim.fixture_pos, state.sim.joint_q
     ) - jnp.array([0.0, 0.0, 0.07])
-    quat = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (2, 1))
+    quat = common.live_quat(spec, state)
     return handle, quat
 
 
@@ -100,5 +100,8 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         obs_fn=_obs,
+        # body xquat (wxyz), constant identity at rest
+        obj_quat0=None,
+        quat_style=("wxyz", "wxyz"),
         n_obs_obj=1,
     )

@@ -41,8 +41,7 @@ def _obs(spec: TaskSpec, state):
     handle = engine.fixture_handle_pos(
         spec.scene_device, state.sim.fixture_pos, state.sim.joint_q
     )
-    quat = jnp.tile(jnp.array([0.691, -0.151, 0.691, 0.151]), (2, 1))
-    return handle, quat
+    return handle, common.live_quat(spec, state)
 
 
 def _reward(spec: TaskSpec, state, obs, action):
@@ -98,5 +97,11 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         obs_fn=_obs,
+        # the door starts open: q0 is the open-door handle orientation
+        # (ref trace obs0[7:11]); R(z, joint_q) composes as it closes
+        obj_quat0=np.array([[0.595, 0.382, -0.595, 0.382],
+                            [1.0, 0.0, 0.0, 0.0]]),
+        quat_style=("xyzw", "xyzw"),
+        quat_joint=(0, -1),
         n_obs_obj=1,
     )

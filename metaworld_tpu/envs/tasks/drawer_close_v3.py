@@ -39,7 +39,7 @@ def _obs(spec: TaskSpec, state):
     handle = engine.fixture_handle_pos(
         spec.scene_device, state.sim.fixture_pos, state.sim.joint_q
     )
-    quat = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (2, 1))
+    quat = common.live_quat(spec, state)  # zeros per the reference
     return handle, quat
 
 
@@ -100,5 +100,6 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         obs_fn=_obs,
+        quat_style=("zeros", "zeros"),
         n_obs_obj=1,
     )

@@ -26,7 +26,7 @@ def faucet_obs(spec: TaskSpec, state):
     handle = engine.fixture_handle_pos(
         spec.scene_device, state.sim.fixture_pos, state.sim.joint_q
     )
-    quat = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (2, 1))
+    quat = common.live_quat(spec, state)
     return handle, quat
 
 
@@ -103,6 +103,7 @@ def make_faucet_spec(name, task_id, obj_low, obj_high, ccw: bool, obj_offset,
         reset_fn=_reset,
         reward_fn=make_faucet_reward(obj_offset),
         obs_fn=faucet_obs,
+        quat_style=("wxyz", "wxyz"),
         n_obs_obj=1,
     )
 

@@ -43,11 +43,7 @@ def _obs(spec: TaskSpec, state):
         spec.scene_device, state.sim.fixture_pos, state.sim.joint_q
     )
     pos = jnp.stack([state.sim.obj_pos[0], nail[0]])
-    quat = jnp.stack([
-        jnp.array([1.0, 0.0, 0.0, 0.0]),
-        jnp.array([1.0, 0.0, 0.0, 0.0]),
-    ])
-    return pos, quat
+    return pos, common.live_quat(spec, state)
 
 
 def _reward(spec: TaskSpec, state, obs, action):
@@ -91,7 +87,7 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         objs=[FreeObj(radius=0.035, half_h=0.02, graspable=True,
                       grasp_halfwidth=0.018, tool_off=_HEAD_OFF,
-                      grasp_off=(-0.045, 0.0, 0.0))],
+                      grasp_off=(-0.045, 0.0, 0.0), droop=0.12)],
         joints=[FixtureJoint(
             kind=JointType.SLIDE, axis=(0.0, 1.0, 0.0), anchor=_NAIL_OFF,
             range=(0.0, 0.102), damping=12.0, inertia=0.25, handle_radius=0.03,
@@ -113,5 +109,10 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         obs_fn=_obs,
+        # hammer body xquat rests with a slight head-down pitch
+        # (ref golden obs0[7:11] = [1, 0, -0.03, 0] before normalization)
+        obj_quat0=np.array([[0.99955, 0.0, -0.0299865, 0.0],
+                            [1.0, 0.0, 0.0, 0.0]]),
+        quat_style=("wxyz", "wxyz"),
         n_obs_obj=2,
     )

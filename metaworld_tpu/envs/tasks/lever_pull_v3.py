@@ -39,8 +39,7 @@ def _obs(spec: TaskSpec, state):
     handle = engine.fixture_handle_pos(
         spec.scene_device, state.sim.fixture_pos, state.sim.joint_q
     )
-    quat = jnp.tile(jnp.array([0.707, 0.0, 0.0, 0.707]), (2, 1))
-    return handle, quat
+    return handle, common.live_quat(spec, state)
 
 
 def _reward(spec: TaskSpec, state, obs, action):
@@ -105,5 +104,11 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         obs_fn=_obs,
+        # lever geom xmat -> scipy xyzw (ref sawyer_lever_pull_v3.py:
+        # _get_quat_objects); rotates with the hinge about -x
+        obj_quat0=np.array([[0.707107, 0.707107, 0.0, 0.0],
+                            [1.0, 0.0, 0.0, 0.0]]),
+        quat_style=("xyzw", "xyzw"),
+        quat_joint=(0, -1),
         n_obs_obj=1,
     )

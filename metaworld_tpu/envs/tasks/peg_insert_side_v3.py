@@ -5,8 +5,8 @@ Ref metaworld/envs/sawyer_peg_insertion_side_v3.py: peg at rand xy in
 [-0.35,-0.25]x[0.4,0.7]; reject until |peg-box| >= 0.1; target = box +
 (0.03, 0, 0.13); v2 reward: pegHead (obj - (0.13,0,0)) scaled (1,2,2)
 in_place, caging radius 0.0075, pad 0.03, high_density, grasp override;
-success obj_to_target <= 0.07. (The reference's collision-box shaping term
-is approximated as 1.0 — it only reshapes reward inside the box mouth.)
+success obj_to_target <= 0.07; collision-box funnel terms exact with the
+box's euler-z rotation applied to the corner sites.
 """
 
 from __future__ import annotations
@@ -20,7 +20,9 @@ from metaworld_tpu.envs.scene_builder import FreeObj, build_scene
 from metaworld_tpu.envs.tasks import common
 from metaworld_tpu.rewards import utils as reward_utils
 
-_HEAD_OFF = (-0.13, 0.0, 0.0)
+# pegGrasp site local (.03,0,.01) -> pegHead local (-.1,0,0):
+# head = obs + (-0.13, 0, -0.01) (assets/sawyer_peg_insertion_side.xml:14-16)
+_HEAD_OFF = (-0.13, 0.0, -0.01)
 
 
 def _reset(spec: TaskSpec, rand, rng):
@@ -53,12 +55,29 @@ def _reward(spec: TaskSpec, state, obs, action):
     tcp_to_obj = jnp.linalg.norm(obj - tcp)
     scale = jnp.array([1.0, 2.0, 2.0])
     obj_to_target = jnp.linalg.norm((obj_head - target) * scale)
-    head_init = state.extras[:3]
+    # peg_head_pos_init is read BEFORE _set_obj_xyz (ref reset_model:143),
+    # i.e. the XML-default peg (0, 0.6, 0.03) settled onto the table during
+    # _reset_hand: head = (-0.1, 0.6, 0.015) — constant across resets
+    head_init = jnp.array([-0.1, 0.6, 0.015])
     in_place_margin = jnp.linalg.norm((head_init - target) * scale)
     in_place = reward_utils.tolerance(
         obj_to_target, bounds=(0, 0.07), margin=in_place_margin,
         sigmoid="long_tail",
     )
+    # collision-box shaping (ref :189-203): two rect prisms anchored to the
+    # box body (sites in assets/objects/assets/peg_block.xml:13-16) funnel
+    # the peg head into the hole mouth
+    # the box body carries euler="0 0 1.57" (the xml above), so site
+    # locals map (x, y, z) -> (-y, x, z) in world
+    box = target - jnp.array([0.03, 0.0, 0.13])
+    cb1 = reward_utils.rect_prism_tolerance(
+        obj_head, zero=box + jnp.array([0.11, 0.1, 0.01]),
+        one=box + jnp.array([0.15, -0.1, 0.096]))
+    cb2 = reward_utils.rect_prism_tolerance(
+        obj_head, zero=box + jnp.array([0.11, 0.1, 0.16]),
+        one=box + jnp.array([0.17, -0.1, 0.19]))
+    collision_boxes = reward_utils.hamacher_product(cb2, cb1)
+    in_place = reward_utils.hamacher_product(in_place, collision_boxes)
     object_grasped = gripper_caging_reward(
         spec, state, action, obj,
         object_reach_radius=0.01, obj_radius=0.0075,

@@ -113,4 +113,6 @@ def make_spec(task_id: int) -> TaskSpec:
         reset_fn=_reset,
         reward_fn=_reward,
         n_obs_obj=1,
+        # ref emits the body xquat (wxyz identity at rest)
+        quat_style=("wxyz", "wxyz"),
     )

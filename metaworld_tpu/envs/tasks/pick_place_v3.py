@@ -135,7 +135,8 @@ def _reward(spec: TaskSpec, state, obs, action):
 @registry.register("pick-place-v3")
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
-        objs=[FreeObj(radius=0.02, half_h=0.02, graspable=True, grasp_halfwidth=0.0227)],
+        objs=[FreeObj(radius=0.02, half_h=0.02, graspable=True, grasp_halfwidth=0.0227,
+                      droop=0.03)],
         mocap_low=_HAND_LOW,
         mocap_high=_HAND_HIGH,
     )

@@ -97,7 +97,8 @@ def _reward(spec: TaskSpec, state, obs, action):
 @registry.register("pick-place-wall-v3")
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
-        objs=[FreeObj(radius=0.02, half_h=0.015, graspable=True, grasp_halfwidth=0.0227)],
+        objs=[FreeObj(radius=0.02, half_h=0.015, graspable=True, grasp_halfwidth=0.0227,
+                      droop=0.03)],
         boxes=[StaticBox(pos=(0.1, 0.75, 0.06), size=(0.12, 0.01, 0.06))],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

@@ -15,11 +15,13 @@ import numpy as np
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec, gripper_caging_reward, touching_main_object
 from metaworld_tpu.envs.tasks import common
+from metaworld_tpu.physics import maths
 from metaworld_tpu.envs.tasks.stick_push_v3 import (
     _THERMOS0_COM, _THERMOS0_REF_INIT, stick_scene, thermos_obs)
 from metaworld_tpu.rewards import utils as reward_utils
 
-_STICK_END_OFF = (0.13, 0.0, 0.0)
+# stick_end site local pos (assets/objects/assets/stick.xml:5)
+_STICK_END_OFF = (0.05, 0.0, 0.0)
 
 
 def _reset(spec: TaskSpec, rand, rng):
@@ -50,7 +52,10 @@ def _reward(spec: TaskSpec, state, obs, action):
     target_radius = 0.05
     tcp = state.sim.hand
     stick = obs[4:7]
-    end_of_stick = state.sim.obj_pos[0] + jnp.asarray(_STICK_END_OFF)
+    # stick_end site on the rotating stick (ref sawyer_stick_pull_v3.py:73):
+    # world offset at reset rotated by the live delta quat
+    end_of_stick = state.sim.obj_pos[0] + maths.quat_rotate(
+        state.sim.obj_quat[0], jnp.asarray(_STICK_END_OFF))
     container = obs[11:14] + jnp.array([0.05, 0.0, 0.0])
     container_init = state.obj_init_pos[0] + jnp.array([0.05, 0.0, 0.0])
     handle = obs[11:14]
@@ -128,4 +133,5 @@ def make_spec(task_id: int) -> TaskSpec:
         reward_fn=_reward,
         obs_fn=thermos_obs,
         n_obs_obj=2,
+        quat_style=("xyzw", "zeros"),
     )

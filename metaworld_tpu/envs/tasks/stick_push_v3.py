@@ -23,10 +23,14 @@ _THERMOS_OBS_OFF = (-0.05, 0.0, 0.0)  # observed handle site rel. COM
 
 
 def stick_scene(link: bool):
+    # stick-pull: the inserted stick tips ~0.34 rad because its far end
+    # rests on the thermos handle (droop engages only once linked, see
+    # engine droop_on); stick-push never inserts, tiny droop
     return build_scene(
         objs=[
             FreeObj(radius=0.025, half_h=0.02, graspable=True,
-                    grasp_halfwidth=0.015, tool_off=(0.13, 0.0, 0.0)),
+                    grasp_halfwidth=0.015, tool_off=(0.13, 0.0, 0.0),
+                    droop=-0.34 if link else -0.05),
             FreeObj(radius=0.045, half_h=0.132, graspable=False, mass=0.2),
         ],
         link_enable=link,
@@ -38,8 +42,9 @@ def stick_scene(link: bool):
 
 def thermos_obs(spec: TaskSpec, state):
     pos = state.sim.obj_pos + jnp.array([[0.0], [1.0]]) * jnp.asarray(_THERMOS_OBS_OFF)[None, :]
-    quat = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (2, 1))
-    return pos, quat
+    # stick body xmat -> scipy xyzw; container quat = zeros
+    # (ref sawyer_stick_pull_v3.py:115-129)
+    return pos, common.live_quat(spec, state)
 
 
 def _reset(spec: TaskSpec, rand, rng):
@@ -129,4 +134,5 @@ def make_spec(task_id: int) -> TaskSpec:
         reward_fn=_reward,
         obs_fn=thermos_obs,
         n_obs_obj=2,
+        quat_style=("xyzw", "zeros"),
     )

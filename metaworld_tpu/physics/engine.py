@@ -89,16 +89,26 @@ def gripper_gap(sim: SimState) -> jnp.ndarray:
     return sim.gripper * GRIPPER_FULL_OPEN
 
 
-def pad_positions(sim: SimState):
-    """World positions of the left/right pad box centers.
+def pad_kinematics(hand, gripper):
+    """World positions of the left/right pad box centers from the hand pose.
 
-    Pads open along y around the tcp (ref xyz_base.xml:159-183)."""
-    gap = gripper_gap(sim) - PAD_GAP_INSET
+    Pads open along y around the tcp (ref xyz_base.xml:159-183); the
+    symmetric split is within ~1 mm of a global least-squares fit of the
+    reference's recorded pad trajectories (left = +0.0464 - 0.0505*closed,
+    right = -0.0477 + 0.0498*closed vs ours +/-(0.047 - 0.050*closed))."""
+    gap = gripper * GRIPPER_FULL_OPEN - PAD_GAP_INSET
     half = gap / 2.0
     up = jnp.array([0.0, 0.0, PAD_Z_OFFSET])
-    left = sim.hand + up + jnp.array([0.0, 1.0, 0.0]) * half
-    right = sim.hand + up - jnp.array([0.0, 1.0, 0.0]) * half
+    left = hand + up + jnp.array([0.0, 1.0, 0.0]) * half
+    right = hand + up - jnp.array([0.0, 1.0, 0.0]) * half
     return left, right
+
+
+def pad_positions(sim: SimState):
+    """Left/right pad centers as carried in the sim state (written by the
+    engine each substep; rewards and `touching_object` consumers read these,
+    and trace-replay harnesses can inject the reference's recorded pads)."""
+    return sim.pad_l, sim.pad_r
 
 
 def obs_hand_pos(sim: SimState) -> jnp.ndarray:
@@ -289,8 +299,9 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # extents ~(0.015, 0.003, 0.045), ref xyz_base.xml:171,183) that cage
         # and drag objects; there is NO geometry between the fingers, so an
         # object between the open pads is untouched.
-        left, right = pad_positions(sim)
+        left, right = pad_kinematics(sim.hand, sim.gripper)
         pad_half = jnp.array([0.015, 0.0045, 0.045])
+        pad_push_depth = []  # per pad: (MAX_OBJ,) contact penetration
         # tangential stick per substep while in contact: flat objects (pucks,
         # plates, boxes) are dragged by the high-friction pads; spheres roll
         # instead of sticking
@@ -341,15 +352,16 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 dv = hand_vel - v
                 dv_t = dv - n * jnp.dot(dv, n)
                 v = v + jnp.where(hit, blend, 0.0) * dv_t
-                return p, v
+                return p, v, depth
 
-            p2, v2 = jax.vmap(push_one)(
+            p2, v2, depth2 = jax.vmap(push_one)(
                 pos, vel, scene.obj_radius, scene.obj_half_h, blend_by_type,
                 scene.obj_type,
             )
             free = (sim.attached == 0) & (scene.obj_exists > 0) & ~pinned_anchor
             pos = jnp.where(free[:, None], p2, pos)
             vel = jnp.where(free[:, None], v2, vel)
+            pad_push_depth.append(depth2 * scene.obj_exists)
 
         # object-object contact (two-object scenes)
         delta = pos[0] - pos[1]
@@ -419,7 +431,8 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         att_z = jnp.maximum(att_pos[:, 2], att_support + scene.obj_half_h)
         # link prop: an inserted tool rests on the ring handle — the hand
         # cannot drag it below (the grip slips instead)
-        tool_prev = sim.obj_pos[0] + scene.obj_tool_off[0]
+        tool_prev = sim.obj_pos[0] + maths.quat_rotate(
+            sim.obj_quat[0], scene.obj_tool_off[0])
         handle_prev = sim.obj_pos[1] + scene.link_handle_off
         linked_prev = (
             (scene.link_enable > 0)
@@ -443,10 +456,57 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         pos = jnp.where((attached > 0)[:, None], att_pos, pos)
         vel = jnp.where((attached > 0)[:, None], hand_vel[None, :], vel)
 
+        # --- rotational dynamics ---
+        # obj_quat is the DELTA rotation from the reset orientation (wxyz);
+        # the reference integrates full rigid-body rotation via MuJoCo
+        # (live body xquat feeds obs[7:11] and the quat-gated rewards, ref
+        # sawyer_xyz_env.py:475-511, sawyer_assembly_peg_v3.py:219-226).
+        # Here three regimes cover what the 50 tasks actually exercise:
+        #   * spheres roll without slipping on their support (soccer ball,
+        #     basketball): omega = (z x v) / r
+        #   * supported flat objects right themselves: the tilt component
+        #     decays toward the pure-yaw twist (table friction), spin decays
+        #   * a gripped object pitches about the pad axis toward a
+        #     per-task equilibrium droop (gravity torque on an off-center
+        #     grasp vs pad torsional compliance, scene.obj_droop); for
+        #     link scenes the tilt engages only once the tool is inserted
+        #     (the stick tips because its far end rests on the handle)
+        support_under = jax.vmap(lambda p: _support_z(scene, p[:2]))(pos)
+        on_ground = (pos[:, 2] - scene.obj_half_h) <= (support_under + 1e-4)
+        is_sphere = scene.obj_type == ObjType.SPHERE
+        free_rot = (attached == 0) & (scene.obj_exists > 0) & ~pinned_anchor
+        omega = sim.obj_angvel
+        ez3 = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), vel.shape)
+        roll_w = jnp.cross(ez3, vel) / jnp.maximum(scene.obj_radius, 1e-6)[:, None]
+        omega = jnp.where((is_sphere & on_ground & free_rot)[:, None], roll_w, omega)
+        omega = jnp.where((~is_sphere & on_ground & free_rot)[:, None],
+                          omega * jnp.exp(-dt / 0.04), omega)
+        omega = omega * (free_rot[:, None] & (scene.obj_exists > 0)[:, None])
+        quat = jax.vmap(maths.quat_integrate, in_axes=(0, 0, None))(
+            sim.obj_quat, omega, dt)
+        # supported non-spheres: tilt decays toward the pure-yaw twist
+        # (degenerate twist — a ~180° tilt — falls back to identity)
+        twist = quat * jnp.array([1.0, 0.0, 0.0, 1.0])
+        tn = _norm(twist, axis=1)[:, None]
+        twist = jnp.where(tn > 0.05, twist / tn,
+                          jnp.broadcast_to(maths.quat_identity(), quat.shape))
+        alpha_r = 1.0 - jnp.exp(-dt / 0.08)
+        righted = maths.quat_nlerp(quat, twist, alpha_r)
+        quat = jnp.where((~is_sphere & on_ground & free_rot)[:, None], righted, quat)
+        # in-grip droop toward axis_angle(y, obj_droop)
+        droop_on = jnp.where(scene.link_enable > 0,
+                             jnp.where(linked_prev, 1.0, 0.0), 1.0)
+        theta_eq = scene.obj_droop * droop_on
+        ey = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (quat.shape[0], 3))
+        q_droop = jax.vmap(maths.axis_angle_quat)(ey, theta_eq)
+        alpha_d = 1.0 - jnp.exp(-dt / 0.35)
+        drooped = maths.quat_nlerp(quat, q_droop, alpha_d)
+        quat = jnp.where((attached > 0)[:, None], drooped, quat)
+
         # --- tool link (stick-pull): when obj0's tool tip is hooked through
         # obj1's handle (the reference's _stick_is_inserted geometry,
         # sawyer_stick_pull_v3.py:187-194), obj1 is dragged with obj0 ---
-        tool_pt = pos[0] + scene.obj_tool_off[0]
+        tool_pt = pos[0] + maths.quat_rotate(quat[0], scene.obj_tool_off[0])
         handle_pt = pos[1] + scene.link_handle_off
         linked = (
             (scene.link_enable > 0)
@@ -521,7 +581,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         )
         # held tools strike fixture handles too (hammer head -> nail)
         for i in range(pos.shape[0]):
-            tool_i = pos[i] + scene.obj_tool_off[i]
+            tool_i = pos[i] + maths.quat_rotate(quat[i], scene.obj_tool_off[i])
             press_force = press_force + scene.obj_exists[i] * sphere_part(tool_i, 0.02)
 
         # panel stations: hand parts press the door face anywhere on the span
@@ -562,10 +622,18 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         q_new = q_new * scene.joint_exists
         qv = qv * scene.joint_exists
 
-        # pad forces for touching_object (ref sawyer_xyz_env.py:401-440):
-        # positive squeeze on a caged object = both pads in contact
-        touching = (attached > 0) | (can_grasp & (squeeze > 0.0))
-        pad_f = jnp.where(jnp.any(touching), jnp.maximum(squeeze, 1.0), 0.0)
+        # pad forces for touching_object (ref sawyer_xyz_env.py:401-440:
+        # per-pad sums of efc_force on pad-object contacts). Two sources,
+        # per pad and distinct: (a) push contact — proportional to the
+        # actual pad-vs-main-object penetration resolved above (a one-pad
+        # graze yields a one-pad force, as in the reference); (b) grip —
+        # a caged, squeezed object loads BOTH pads with the remaining
+        # actuator drive.
+        _PAD_K = 4000.0  # penetration -> force scale (position-actuator kp x10)
+        gripped0 = ((attached[0] > 0) | can_grasp[0]) & (squeeze > 0.0)
+        pad_f_l = _PAD_K * pad_push_depth[0][0] + jnp.where(gripped0, squeeze, 0.0)
+        pad_f_r = _PAD_K * pad_push_depth[1][0] + jnp.where(gripped0, squeeze, 0.0)
+        pad_l_new, pad_r_new = pad_kinematics(new_hand, gripper)
 
         new_sim = sim.replace(
             hand=new_hand,
@@ -574,16 +642,18 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             gripper_vel=gripper_vel,
             obj_pos=pos,
             obj_vel=vel,
-            obj_quat=sim.obj_quat,
-            obj_angvel=sim.obj_angvel,
+            obj_quat=quat,
+            obj_angvel=omega,
             joint_q=q_new,
             joint_v=qv,
             attached=attached,
             attach_off=attach_off,
             unanchored=unanchored,
             hooked=hooked,
-            pad_force_l=pad_f,
-            pad_force_r=pad_f,
+            pad_force_l=pad_f_l,
+            pad_force_r=pad_f_r,
+            pad_l=pad_l_new,
+            pad_r=pad_r_new,
         )
         return new_sim, None
 

@@ -54,6 +54,15 @@ def quat_integrate(q, omega, dt):
     return qn / jnp.sqrt(jnp.maximum(jnp.sum(qn * qn, axis=-1, keepdims=True), 1e-24))
 
 
+def quat_nlerp(q, p, alpha):
+    """Normalized lerp q -> p by fraction alpha, sign-corrected for the
+    double cover (used for the engine's orientation relaxations: grip droop,
+    support righting). Exact enough for the small angles involved."""
+    p = p * jnp.sign(jnp.sum(q * p, axis=-1, keepdims=True) + 1e-30)
+    out = q + alpha * (p - q)
+    return out / jnp.sqrt(jnp.maximum(jnp.sum(out * out, axis=-1, keepdims=True), 1e-24))
+
+
 def quat_to_mat(q):
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     return jnp.stack(

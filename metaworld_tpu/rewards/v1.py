@@ -45,6 +45,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from metaworld_tpu.envs.tasks import common
+from metaworld_tpu.physics import maths
 
 C1, C2, C3 = 1000.0, 0.01, 0.001
 H_SCALE = 100.0
@@ -821,10 +822,11 @@ def v1_disassemble(spec, state, obs, action):
 
 def v1_hammer(spec, state, obs, action):
     """ref sawyer_hammer_v3.py:232-280 (v1). objPos = nailHead site (our
-    obs[11:14] IS the nail head), hammerHead = hammer + (0.16, 0, 0.01)
-    (geom offset at identity quat — exact for our non-rotating engine)."""
+    obs[11:14] IS the nail head); hammerHead = the HammerHead geom at local
+    (0.16, 0, 0) rotated by the live hammer body quat obs[7:11] (wxyz) —
+    bit-exact against the reference trace's recorded geom xpos."""
     hammer = obs[4:7]
-    hammer_head = hammer + jnp.array([0.16, 0.0, 0.01])
+    hammer_head = hammer + maths.quat_rotate(obs[7:11], jnp.array([0.16, 0.0, 0.0]))
     nail = obs[11:14]
     fc = _tcp(state)
     hammer_height = state.obj_init_pos[0, 2]
@@ -838,13 +840,14 @@ def v1_hammer(spec, state, obs, action):
     dropped = (hammer[2] < hammer_height + 0.005) & (hammer_dist > 0.02) & (reach_dist > 0.02)
     pick_rew = _pick_rew(hammer[2], height_target, hammer_height, reach_dist,
                          dropped, pick_done)
-    # maxHammerDist (ref :126-140): |(hx, hy, heightTarget) - nail_init|
-    #   + heightTarget + |nail_init_y - target_y|; nail_init = box + site
-    nail_init = jnp.array([0.24, 0.635, 0.11])
-    max_hammer = _norm(
-        jnp.array([state.obj_init_pos[0, 0], state.obj_init_pos[0, 1],
-                   height_target]) - nail_init
-    ) + height_target + jnp.abs(nail_init[1] - state.target[1])
+    # maxHammerDist (ref :125-139): the reference subtracts obj_init_pos
+    # (the HAMMER's own init, not the nail), so the norm collapses to the
+    # pure lift height: (heightTarget - hammer_z0) + heightTarget
+    # + |hammer_y0 - target_y|
+    max_hammer = (
+        (height_target - state.obj_init_pos[0, 2]) + height_target
+        + jnp.abs(state.obj_init_pos[0, 1] - state.target[1])
+    )
     d = hammer_dist + screw_dist
     cond = pick_done & (reach_dist < 0.1) & ~dropped
     hammer_rew = jnp.where(

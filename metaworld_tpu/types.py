@@ -85,7 +85,13 @@ class SceneParams:
                                  # until first grasped
     obj_tool_off: jnp.ndarray    # (MAX_OBJ, 3) tool point rel. COM (hammer head,
                                  # stick tip) — contacts fixture handles and drives
-                                 # the object-object link
+                                 # the object-object link; world frame AT RESET,
+                                 # rotated by the live delta quat each step
+    obj_droop: jnp.ndarray       # (MAX_OBJ,) equilibrium in-grip pitch about the
+                                 # pad axis (rad): gravity torque on an off-center
+                                 # grasp vs pad torsional compliance (0 = rigid
+                                 # grip; calibrated per task against reference
+                                 # body-quat traces)
     obj_grasp_off: jnp.ndarray   # (MAX_OBJ, 3) grasp point rel. COM (wrench/hammer
                                  # handles, lid knob)
     link_enable: jnp.ndarray     # () 0/1 — obj0's tool point can hook obj1
@@ -134,9 +140,11 @@ class SimState:
     gripper: jnp.ndarray      # () normalized aperture in [0, 1] (pad gap / 0.1)
     gripper_vel: jnp.ndarray  # ()
     obj_pos: jnp.ndarray      # (MAX_OBJ, 3)
-    obj_quat: jnp.ndarray     # (MAX_OBJ, 4) wxyz
+    obj_quat: jnp.ndarray     # (MAX_OBJ, 4) wxyz DELTA rotation from the reset
+                              # orientation (identity at reset); absolute body
+                              # orientation = obj_quat x task reset quat
     obj_vel: jnp.ndarray      # (MAX_OBJ, 3)
-    obj_angvel: jnp.ndarray   # (MAX_OBJ, 3)
+    obj_angvel: jnp.ndarray   # (MAX_OBJ, 3) world-frame angular velocity
     joint_q: jnp.ndarray      # (MAX_JOINT,)
     joint_v: jnp.ndarray      # (MAX_JOINT,)
     attached: jnp.ndarray     # (MAX_OBJ,) 0/1 — object welded to the hand (grasped)
@@ -146,6 +154,9 @@ class SimState:
     hooked: jnp.ndarray       # (MAX_JOINT,) 0/1 — gripper hooked on fixture handle
     pad_force_l: jnp.ndarray  # () left pad normal force on main object
     pad_force_r: jnp.ndarray  # () right pad normal force on main object
+    pad_l: jnp.ndarray        # (3,) left pad box center (world) — real state so
+    pad_r: jnp.ndarray        # (3,) rewards read the same pads the engine used
+                              # (and replay harnesses can inject recorded pads)
     fixture_pos: jnp.ndarray  # (3,) per-reset fixture base position (ref mutates
                               # model.body(...).pos at reset; here it is state)
 

@@ -30,7 +30,6 @@ GOLD = "tests/golden_v1"
 _BOUNDS = {
     "assembly-v3": (0.05, 0.02),
     "disassemble-v3": (0.05, 0.02),
-    "hammer-v3": (0.80, 0.30),     # head geom offset rotates in the grip
 }
 # these rewards read the nut COM via sim.obj_pos; the replay injects the
 # recorded reference nut_com trace for it

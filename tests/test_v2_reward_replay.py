@@ -1,17 +1,17 @@
 """Step-level v2 reward parity across all 50 tasks.
 
 Replays each reference golden trace through OUR reward function: the
-post-step observation, action, and tcp come from the reference recording;
+post-step observation, action, tcp, finger pads, and (for free-joint
+objects) the body pose from qpos come from the reference recording;
 reset-time margins come from our own env_reset on the same task vector.
+Rewards read exactly what the reference reads — obs where it reads obs,
+sim state where it reads mjData — so the replay measures the reward
+formulas themselves, with no geometric approximations.
 A step counts as mismatched only if it is off by >5% AND >0.25 absolute.
 
-Replay limits (not engine errors — closed-loop success and the reach-slice
-exact test cover those paths):
-* a few tasks' rewards read rotating-body geometry the obs doesn't carry
-  (assembly/disassemble wrench COM, hammer head, stick end) — the replay
-  approximates them with fixed offsets, so they get loose/exempt bounds;
-* gates at exact thresholds (the drawer-close success bonus) can flip on
-  sub-mm replay error — covered by the small step budget.
+The residual budgets cover gates sitting at exact thresholds (sub-mm
+replay error can flip e.g. the drawer-close success bonus) and joint
+coordinates re-derived from the obs handle position.
 """
 
 import jax
@@ -21,7 +21,7 @@ import pytest
 
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import env_reset
-from metaworld_tpu.physics import engine
+from metaworld_tpu.physics import engine, maths
 
 _UNMUT = {
     "door-open-v3": lambda o: o + np.eye(1, 39, 4)[0] * 0.05,
@@ -30,27 +30,15 @@ _UNMUT = {
                                     + np.eye(1, 39, 6)[0] * 0.1),
 }
 
-# max fraction of mismatched steps (default 0.02)
+# max fraction of mismatched steps (default 0.02, the round-2 target)
 _BOUNDS = {
-    "sweep-into-v3": 0.06,      # caging-grip component noise
-    "door-open-v3": 0.06,       # door angle re-derived from the obs handle
-    "peg-insert-side-v3": 0.10,  # pegHead approximated as obs + const
-    "stick-pull-v3": 0.04,      # stick-end site under stick rotation
-    "hammer-v3": 0.03,
-    "assembly-v3": 0.04,  # caging on the threshed handle is obs-approximate
+    "door-open-v3": 0.05,   # door angle re-derived from the obs handle
 }
-# assembly/disassemble rewards read the nut COM via sim.obj_pos (exact in
-# our engine); the replay injects it from the recorded reference qpos
-_QPOS_OBJ = {"assembly-v3", "disassemble-v3"}
-_EXEMPT = set()
 
 
 @pytest.mark.parametrize("name", registry.ALL_V3_ENVIRONMENTS)
 def test_v2_reward_replay(name):
-    if name in _EXEMPT:
-        pytest.skip("reward reads rotating-body geometry not in the obs")
     d = np.load(f"tests/golden/{name}.npz")
-    QPOS = d["qpos"] if name in _QPOS_OBJ else None
     spec = registry.get_spec(name)
     rand = np.zeros(12)
     rv = d["attr_last_rand_vec"]
@@ -60,16 +48,23 @@ def test_v2_reward_replay(name):
     if name in _UNMUT:
         OBS = _UNMUT[name](OBS)
 
-    inject_obj = name in ("stick-pull-v3", "stick-push-v3")
+    # free-joint main object: qpos carries [9:12] pos + [12:16] quat (wxyz);
+    # inject both (delta quat = q x q0^-1, matching the engine's convention)
+    has_free = d["qpos"].shape[1] >= 16 and bool(np.asarray(spec.scene.obj_exists)[0])
+    QPOS = d["qpos"] if has_free else None
+    q0_abs = d["qpos"][0][12:16] if has_free else None
     is_hammer = name == "hammer-v3"
     has_joint = bool(np.asarray(spec.scene.joint_exists).any())
 
-    def one(o, a, tcp, qp):
-        sim = state.sim.replace(hand=tcp, gripper=jnp.clip(o[3], 0.0, 1.0))
-        if inject_obj:
-            sim = sim.replace(obj_pos=sim.obj_pos.at[0].set(o[4:7]))
+    def one(o, a, tcp, lp, rp, qp):
+        sim = state.sim.replace(hand=tcp, gripper=jnp.clip(o[3], 0.0, 1.0),
+                                pad_l=lp, pad_r=rp)
         if qp is not None:
-            sim = sim.replace(obj_pos=sim.obj_pos.at[0].set(qp[9:12]))
+            q_delta = maths.quat_mul(qp[12:16], maths.quat_conj(jnp.asarray(q0_abs)))
+            sim = sim.replace(
+                obj_pos=sim.obj_pos.at[0].set(qp[9:12]),
+                obj_quat=sim.obj_quat.at[0].set(q_delta),
+            )
         if is_hammer:
             sim = sim.replace(joint_q=sim.joint_q.at[0].set(o[12] - 0.64))
         elif has_joint:
@@ -81,10 +76,12 @@ def test_v2_reward_replay(name):
         st = state.replace(sim=sim)
         return spec.reward_fn(spec, st, o, a).reward
 
-    f = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None if QPOS is None else 0)))
+    f = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0,
+                                       None if QPOS is None else 0)))
     qp_arg = None if QPOS is None else jnp.asarray(QPOS[1:])
     ours = np.asarray(f(jnp.asarray(OBS[1:]), jnp.asarray(d["action"][:-1]),
-                        jnp.asarray(d["tcp"][1:]), qp_arg))
+                        jnp.asarray(d["tcp"][1:]), jnp.asarray(d["leftpad"][1:]),
+                        jnp.asarray(d["rightpad"][1:]), qp_arg))
     ref = d["reward"][:-1]
     err = np.abs(ours - ref)
     rel = err / np.maximum(0.5, np.abs(ref))
