@@ -80,10 +80,13 @@ class ScriptedAgent:
 
 
 def evaluation(agent: Agent, eval_envs: BatchedEnvs, num_episodes: int = 50,
-               key=None, max_steps: int | None = None):
+               key=None, max_steps: int | None = None, vstate=None):
     """MT success-rate protocol (ref evaluation.py:48-103): terminate on
     success, count an episode successful if any step succeeded, run until
     every env slot has `num_episodes` episodes.
+
+    Pass `vstate` to evaluate on that state's pinned goals (pseudorandom
+    mode) — the meta protocol's "same tasks as adaptation" requirement.
 
     Returns (mean_success_rate, mean_returns, success_per_task,
     returns_per_task) with per-task dicts keyed by env name."""
@@ -92,7 +95,7 @@ def evaluation(agent: Agent, eval_envs: BatchedEnvs, num_episodes: int = 50,
         "evaluation expects terminate_on_success=True envs (the reference "
         "toggles it, ref evaluation.py:54)"
     )
-    state, obs = eval_envs.reset(key)
+    state, obs = eval_envs.reset(key, vstate=vstate)
     n = eval_envs.num_envs
     episodes = np.zeros(n, dtype=int)
     successes = np.zeros(n)
@@ -139,19 +142,27 @@ def metalearning_evaluation(
     num_episodes: int = 3,
     key=None,
 ):
-    """Meta-RL adapt->eval protocol (ref evaluation.py:106-169): per eval
-    round, resample goals, collect adaptation episodes with exploration
-    actions, agent.adapt() on them, then run the MT evaluation."""
+    """Meta-RL adapt->eval protocol (ref evaluation.py:106-169): one
+    pseudo-random task draw per eval round (`sample_tasks`), held FIXED
+    through the adaptation episodes and the evaluation pass — the agent is
+    evaluated on the tasks it adapted to (ref evaluation.py:114-125:
+    toggle_sample_tasks_on_reset(False) + sample_tasks() per round)."""
     key = key if key is not None else jax.random.PRNGKey(0)
+    assert eval_envs.task_select == "pseudorandom", (
+        "metalearning_evaluation needs task_select='pseudorandom' envs "
+        "(the reference's PseudoRandomTaskSelectWrapper path)"
+    )
     n = eval_envs.num_envs
     total_success, total_returns = 0.0, 0.0
     task_results: dict[str, list] = {}
+    state, _ = eval_envs.reset(key)
 
     for ev in range(num_evals):
         key, k_reset, k_eval = jax.random.split(key, 3)
+        state = eval_envs.sample_tasks(state)
         agent.init()
         for _ in range(adaptation_steps):
-            state, obs = eval_envs.reset(k_reset)
+            state, obs = eval_envs.reset(k_reset, vstate=state)
             buf = []
             for _ in range(adaptation_episodes * eval_envs.max_episode_steps):
                 actions = agent.adapt_action(obs)
@@ -169,7 +180,8 @@ def metalearning_evaluation(
                     break
             agent.adapt(buf)
         succ, rets, per_s, per_r = evaluation(
-            agent, eval_envs, num_episodes=num_episodes, key=k_eval
+            agent, eval_envs, num_episodes=num_episodes, key=k_eval,
+            vstate=state,
         )
         total_success += succ
         total_returns += rets

@@ -290,8 +290,14 @@ def make_ml_envs(name: str, seed: int | None = None,
     return _maybe_pipeline(envs, pk)
 
 
-make_ml_envs_train = functools.partial(make_ml_envs, split="train")
-make_ml_envs_test = functools.partial(make_ml_envs, split="test")
+# the reference partials pin pseudorandom task selection for the meta
+# protocol (ref __init__.py:594-603)
+make_ml_envs_train = functools.partial(
+    make_ml_envs, split="train", terminate_on_success=False,
+    task_select="pseudorandom")
+make_ml_envs_test = functools.partial(
+    make_ml_envs, split="test", terminate_on_success=True,
+    task_select="pseudorandom")
 
 
 

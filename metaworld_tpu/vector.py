@@ -47,6 +47,9 @@ class GroupState:
     pending_reset: jnp.ndarray   # (n,) bool — reset on the next step call
     episode_return: jnp.ndarray  # (n,)
     episode_length: jnp.ndarray  # (n,) int32
+    goal_idx: jnp.ndarray        # (n,) int32 — pinned goal row per slot
+                                 # (consumed only under task_select=
+                                 # "pseudorandom"; random mode ignores it)
 
 
 @struct.dataclass
@@ -72,6 +75,7 @@ class BatchedEnvs:
         terminate_on_success: bool = False,
         max_episode_steps: int = MAX_PATH_LENGTH,
         autoreset: bool = True,
+        task_select: str = "random",
     ):
         assert len(specs) == len(counts) == len(goal_tables)
         self.specs = list(specs)
@@ -84,6 +88,15 @@ class BatchedEnvs:
         self.terminate_on_success = terminate_on_success
         self.max_episode_steps = int(max_episode_steps)
         self.autoreset = autoreset
+        # task_select="pseudorandom" pins each slot to a goal row that only
+        # sample_tasks() advances — the in-graph analogue of the reference's
+        # PseudoRandomTaskSelectWrapper with sample_tasks_on_reset=False
+        # (ref wrappers.py:145-204, evaluation.py:114-125)
+        assert task_select in ("random", "pseudorandom")
+        self.task_select = task_select
+        self._prg_rng = np.random.default_rng(0)
+        self._prg_perm = [None] * len(self.specs)   # per group: (count, n_goals)
+        self._prg_cursor = [None] * len(self.specs)
 
         # one-hot task id block (ref OneHotWrapper, wrappers.py:14-32)
         self.one_hot = one_hot
@@ -115,25 +128,32 @@ class BatchedEnvs:
         return out
 
     # ------------------------------------------------------------------
-    def _sample_goal(self, spec_i: int, key):
+    def _sample_goal(self, spec_i: int, key, goal_idx):
         table = self.goal_tables[spec_i]
-        idx = jax.random.randint(key, (), 0, table.shape[0])
+        if self.task_select == "pseudorandom":
+            idx = goal_idx
+        else:
+            idx = jax.random.randint(key, (), 0, table.shape[0])
         return table[idx]
 
-    def _reset_one(self, spec_i: int, key):
+    def _reset_one(self, spec_i: int, key, goal_idx):
         spec = self.specs[spec_i]
         k_goal, k_env, k_next = jax.random.split(key, 3)
-        rand_vec = self._sample_goal(spec_i, k_goal)
+        rand_vec = self._sample_goal(spec_i, k_goal, goal_idx)
         state, obs = env_reset(spec, rand_vec, k_env, self.goal_visible[spec_i])
         return state, obs, k_next
 
-    def _reset_impl(self, key):
+    def _reset_impl(self, key, goal_idx):
         groups = []
         all_obs = []
+        start = 0
         for i, (spec, count) in enumerate(zip(self.specs, self.counts)):
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, count)
-            state, obs, nkeys = jax.vmap(functools.partial(self._reset_one, i))(keys)
+            gidx = jax.lax.dynamic_slice_in_dim(goal_idx, start, count, axis=0)
+            start += count
+            state, obs, nkeys = jax.vmap(functools.partial(self._reset_one, i))(
+                keys, gidx)
             groups.append(
                 GroupState(
                     env=state,
@@ -141,11 +161,49 @@ class BatchedEnvs:
                     pending_reset=jnp.zeros(count, dtype=bool),
                     episode_return=jnp.zeros(count),
                     episode_length=jnp.zeros(count, dtype=jnp.int32),
+                    goal_idx=gidx,
                 )
             )
             all_obs.append(obs)
         obs = jnp.concatenate(all_obs, axis=0)
         return VectorState(groups=tuple(groups)), self._augment(obs)
+
+    def _goal_idx_of(self, vstate) -> jnp.ndarray:
+        if vstate is None:
+            return jnp.zeros(self.num_envs, dtype=jnp.int32)
+        if isinstance(vstate, VectorState):
+            return jnp.concatenate([g.goal_idx for g in vstate.groups])
+        return vstate.goal_idx
+
+    def sample_tasks(self, vstate):
+        """Advance every slot's pinned goal: cycle through a per-slot
+        shuffled permutation of the goal table, reshuffling on wrap (the
+        reference's PseudoRandomTaskSelectWrapper.sample_tasks, ref
+        wrappers.py:178-189). Host-side bookkeeping; returns a state with
+        the new pinned indices (takes effect on the next reset)."""
+        assert self.task_select == "pseudorandom"
+        idx_groups = []
+        for i, count in enumerate(self.counts):
+            n_goals = int(self.goal_tables[i].shape[0])
+            if self._prg_perm[i] is None:
+                self._prg_perm[i] = np.stack([
+                    self._prg_rng.permutation(n_goals) for _ in range(count)])
+                self._prg_cursor[i] = np.zeros(count, dtype=int)
+            idx = np.empty(count, dtype=np.int32)
+            for j in range(count):
+                if self._prg_cursor[i][j] >= n_goals:
+                    self._prg_perm[i][j] = self._prg_rng.permutation(n_goals)
+                    self._prg_cursor[i][j] = 0
+                idx[j] = self._prg_perm[i][j][self._prg_cursor[i][j]]
+                self._prg_cursor[i][j] += 1
+            idx_groups.append(idx)
+        if isinstance(vstate, VectorState):
+            groups = tuple(
+                g.replace(goal_idx=jnp.asarray(idx))
+                for g, idx in zip(vstate.groups, idx_groups)
+            )
+            return VectorState(groups=groups)
+        return vstate.replace(goal_idx=jnp.asarray(np.concatenate(idx_groups)))
 
     def _augment(self, obs):
         if self._one_hot_block is not None:
@@ -175,7 +233,8 @@ class BatchedEnvs:
                 terminated = terminated | (out.success > 0)
 
             # fresh resets for slots flagged last step (NEXT_STEP autoreset)
-            rstate, robs, rkeys = jax.vmap(functools.partial(self._reset_one, i))(g.key)
+            rstate, robs, rkeys = jax.vmap(functools.partial(self._reset_one, i))(
+                g.key, g.goal_idx)
 
             if self.autoreset:
                 env2 = _tree_select(g.pending_reset, rstate, stepped_env)
@@ -199,6 +258,7 @@ class BatchedEnvs:
                     pending_reset=done if self.autoreset else jnp.zeros_like(done),
                     episode_return=ep_ret,
                     episode_length=ep_len,
+                    goal_idx=g.goal_idx,
                 )
             )
             outs["obs"].append(obs2)
@@ -225,8 +285,11 @@ class BatchedEnvs:
         return VectorState(groups=tuple(new_groups)), cat
 
     # ------------------------------------------------------------------
-    def reset(self, key):
-        return self._reset_jit(key)
+    def reset(self, key, vstate=None):
+        """Fresh reset. Pass the previous `vstate` to preserve pinned goal
+        indices (pseudorandom mode resets onto the SAME tasks, the
+        reference's sample_tasks_on_reset=False semantics)."""
+        return self._reset_jit(key, self._goal_idx_of(vstate))
 
     def step(self, vstate, actions):
         return self._step_jit(vstate, actions)
@@ -239,6 +302,7 @@ class FusedState:
     pending_reset: jnp.ndarray   # (n,)
     episode_return: jnp.ndarray  # (n,)
     episode_length: jnp.ndarray  # (n,) int32
+    goal_idx: jnp.ndarray        # (n,) int32 pinned goal rows (see GroupState)
 
 
 class FusedBatchedEnvs(BatchedEnvs):
@@ -266,19 +330,20 @@ class FusedBatchedEnvs(BatchedEnvs):
         a, b = int(self._offsets[i]), int(self._offsets[i + 1])
         return jax.tree.map(lambda x: x[a:b], tree)
 
-    def _reset_all(self, keys):
+    def _reset_all(self, keys, goal_idx):
         """Per-slot resets (grouped per task), concatenated."""
         states, obss, nkeys = [], [], []
         for i in range(len(self.specs)):
             a, b = int(self._offsets[i]), int(self._offsets[i + 1])
-            s, o, k = jax.vmap(functools.partial(self._reset_one, i))(keys[a:b])
+            s, o, k = jax.vmap(functools.partial(self._reset_one, i))(
+                keys[a:b], goal_idx[a:b])
             states.append(s)
             obss.append(o)
             nkeys.append(k)
         env = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *states)
         return env, jnp.concatenate(obss, axis=0), jnp.concatenate(nkeys, axis=0)
 
-    def _reset_impl(self, key):
+    def _reset_impl(self, key, goal_idx):
         # same per-group key derivation as the grouped engine so both
         # variants sample identical goals from the same seed
         parts = []
@@ -286,7 +351,7 @@ class FusedBatchedEnvs(BatchedEnvs):
             key, sub = jax.random.split(key)
             parts.append(jax.random.split(sub, count))
         keys = jnp.concatenate(parts, axis=0)
-        env, obs, nkeys = self._reset_all(keys)
+        env, obs, nkeys = self._reset_all(keys, goal_idx)
         n = self.num_envs
         state = FusedState(
             env=env,
@@ -294,6 +359,7 @@ class FusedBatchedEnvs(BatchedEnvs):
             pending_reset=jnp.zeros(n, dtype=bool),
             episode_return=jnp.zeros(n),
             episode_length=jnp.zeros(n, dtype=jnp.int32),
+            goal_idx=goal_idx,
         )
         return state, self._augment(obs)
 
@@ -344,7 +410,7 @@ class FusedBatchedEnvs(BatchedEnvs):
 
         def with_resets(operand):
             env, obs, keys = operand
-            renv, robs, rkeys = self._reset_all(keys)
+            renv, robs, rkeys = self._reset_all(keys, vstate.goal_idx)
             env2 = _tree_select(pending, renv, env)
             obs2 = jnp.where(pending[:, None], robs, obs)
             keys2 = jnp.where(pending[:, None], rkeys, keys)
@@ -379,6 +445,7 @@ class FusedBatchedEnvs(BatchedEnvs):
             pending_reset=done if self.autoreset else jnp.zeros_like(done),
             episode_return=ep_ret,
             episode_length=ep_len,
+            goal_idx=vstate.goal_idx,
         )
         cat = {
             "obs": self._augment(obs),

@@ -36,7 +36,8 @@ class CountingAgent:
 
 def test_metalearning_evaluation_accounting():
     envs = mw.make_ml_envs("pick-place-v3", seed=0, meta_batch_size=2,
-                           terminate_on_success=True, max_episode_steps=40)
+                           terminate_on_success=True, max_episode_steps=40,
+                           task_select="pseudorandom")
     agent = CountingAgent(envs.num_envs)
     num_evals, adaptation_steps = 2, 2
     succ, returns, per_task = metalearning_evaluation(
@@ -48,6 +49,44 @@ def test_metalearning_evaluation_accounting():
     assert agent.adapt_transitions > 0
     assert 0.0 <= succ <= 1.0
     assert "pick-place-v3" in per_task
+
+
+def test_metalearning_task_pinning():
+    """Within an eval round the goals seen during adaptation equal the
+    goals seen during evaluation; across rounds they change (ref
+    evaluation.py:114-125: toggle_sample_tasks_on_reset(False) + one
+    sample_tasks() per round)."""
+
+    envs = mw.make_ml_envs_test("pick-place-v3", seed=0, meta_batch_size=2,
+                                max_episode_steps=30)
+    assert envs.task_select == "pseudorandom"
+    import jax
+
+    def goals_of(state):
+        if hasattr(state, "groups"):
+            return np.concatenate(
+                [np.asarray(g.env.rand_vec) for g in state.groups])
+        return np.asarray(state.env.rand_vec)
+
+    key = jax.random.PRNGKey(0)
+    state, _ = envs.reset(key)
+    round_goals = []
+    for rnd in range(3):
+        state = envs.sample_tasks(state)
+        # adaptation reset: pinned goals
+        state, obs = envs.reset(jax.random.PRNGKey(10 + rnd), vstate=state)
+        adapt_g = goals_of(state)
+        # run a few steps incl. autoreset; goals must NOT drift
+        for t in range(35):
+            state, out = envs.step(state, np.zeros((envs.num_envs, 4)))
+        drift_g = goals_of(state)
+        np.testing.assert_array_equal(adapt_g, drift_g)
+        # evaluation reset reuses the same pinned goals
+        state, obs = envs.reset(jax.random.PRNGKey(90 + rnd), vstate=state)
+        np.testing.assert_array_equal(adapt_g, goals_of(state))
+        round_goals.append(adapt_g)
+    assert not np.array_equal(round_goals[0], round_goals[1])
+    assert not np.array_equal(round_goals[1], round_goals[2])
 
 
 def test_mt50_fused_batch_smoke():

@@ -13,23 +13,42 @@ from metaworld_tpu.types import HAND_SPACE_HIGH, HAND_SPACE_LOW
 
 
 def test_sharded_envs_matches_local():
-    """The 8-shard engine must produce the same per-env results as an
-    unsharded engine with identical local batches (zero-communication
-    shard_map; each shard is a miniature of the global structure)."""
+    """True equivalence: the 8-shard shard_map engine produces BIT-IDENTICAL
+    trajectories to running each shard's local FusedBatchedEnvs program by
+    hand with that shard's key (the sharded reset derives shard i's key as
+    split(key)[i]; zero-communication stepping implies exact agreement)."""
     bench = mw.MT1("reach-v3", seed=0, num_goals=4)
     m = pmesh.make_env_mesh(8)
     envs = ShardedEnvs(bench, envs_per_task=16, mesh=m)
     assert envs.num_envs == 16
-    state, obs = envs.reset(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(0)
+    state, obs = envs.reset(key)
     assert obs.shape == (16, 39)
-    acts = np.tile(np.array([0.1, 0.0, -0.1, 1.0]), (16, 1))
-    for _ in range(3):
-        state, out = envs.step(state, jnp.asarray(acts))
-    r = np.asarray(out["reward"])
-    assert np.isfinite(r).all()
-    # every shard ran the same local program on the same goal table with
-    # shard-split keys; rewards land in the same (sane) band
-    assert r.std() < 5.0 and (r > 0).all()
+    rng = np.random.default_rng(7)
+    acts = rng.uniform(-1, 1, size=(5, 16, 4))
+    sharded_obs, sharded_rew = [], []
+    for t in range(5):
+        state, out = envs.step(state, jnp.asarray(acts[t]))
+        sharded_obs.append(np.asarray(out["obs"]))
+        sharded_rew.append(np.asarray(out["reward"]))
+
+    # replay per shard on the LOCAL (unsharded) engine with the same keys
+    keys = jax.random.split(key, 8)
+    per_shard = envs.local.num_envs  # 2 slots per shard
+    local_obs = [[] for _ in range(5)]
+    local_rew = [[] for _ in range(5)]
+    for i in range(8):
+        st, ob = envs.local.reset(keys[i])
+        for t in range(5):
+            a = acts[t][i * per_shard:(i + 1) * per_shard]
+            st, out = envs.local.step(st, jnp.asarray(a))
+            local_obs[t].append(np.asarray(out["obs"]))
+            local_rew[t].append(np.asarray(out["reward"]))
+    for t in range(5):
+        np.testing.assert_array_equal(
+            sharded_obs[t], np.concatenate(local_obs[t], axis=0))
+        np.testing.assert_array_equal(
+            sharded_rew[t], np.concatenate(local_rew[t], axis=0))
 
 
 def test_sharded_envs_divisibility_guard():
