@@ -97,13 +97,26 @@ class Task(NamedTuple):
     partially_observable: bool
 
 
-def _draw(spec: TaskSpec, name: str) -> np.ndarray:
-    v = np.random.uniform(spec.rand_low, spec.rand_high,
-                          size=spec.rand_low.size).astype(np.float64)
+def _draw(spec: TaskSpec, name: str, rng=np.random) -> np.ndarray:
+    """One reset_model draw with the task's rejection loop. `rng` is the
+    global numpy module (benchmark construction, ref _make_tasks) or a
+    Generator (a seeded env's np_random stream, ref sawyer_xyz_env.py:
+    703-710 — gymnasium's seeding.np_random(seed) is bit-identical to
+    np.random.default_rng(seed))."""
+    v = rng.uniform(spec.rand_low, spec.rand_high,
+                    size=spec.rand_low.size).astype(np.float64)
     while _rejects(name, v):
-        v = np.random.uniform(spec.rand_low, spec.rand_high,
-                              size=spec.rand_low.size).astype(np.float64)
+        v = rng.uniform(spec.rand_low, spec.rand_high,
+                        size=spec.rand_low.size).astype(np.float64)
     return v
+
+
+def draw_reset_vec(spec: TaskSpec, name: str, rng) -> np.ndarray:
+    """The full per-reset draw sequence: the reference's reset() invokes
+    reset_model TWICE (ref sawyer_xyz_env.py:664-682), each performing its
+    own rejection-resampled draw; the second wins."""
+    _draw(spec, name, rng)
+    return _draw(spec, name, rng)
 
 
 def _make_tasks(env_names: list[str], seed: int | None,

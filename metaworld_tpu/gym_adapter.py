@@ -57,6 +57,7 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
     def __init__(self, env_name: str, seed: int | None = None,
                  render_mode: str | None = None,
                  camera_name: str | None = None,
+                 width: int = 480, height: int = 480,
                  reward_function_version: str = "v2", **_ignored):
         self.env_name = env_name
         self.task_name = env_name
@@ -64,6 +65,8 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
         self.spec_ = registry.get_spec(env_name, reward_function_version)
         self.render_mode = render_mode
         self.camera_name = camera_name or "topview"
+        self.width = int(width)
+        self.height = int(height)
         self.max_path_length = MAX_PATH_LENGTH
 
         self._step_jit, self._reset_jit = _compiled_fns(self.spec_)
@@ -99,7 +102,10 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
         self._set_task_called = True
 
     def _sample_vec(self) -> np.ndarray:
-        return self._rng.uniform(self.spec_.rand_low, self.spec_.rand_high)
+        """Seeded-env goal sampling replays the reference's np_random
+        stream exactly: double reset_model draw + per-task rejection
+        (ref sawyer_xyz_env.py:697-710; reset :664-682)."""
+        return benchmarks.draw_reset_vec(self.spec_, self.env_name, self._rng)
 
     def reset(self, seed: int | None = None, options=None):
         if seed is not None:
@@ -185,14 +191,17 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
 
     def render(self):
         """rgb_array / depth_array from the configured camera (ref cameras
-        topview/corner/corner2/behindGripper, xyz_base.xml:16-20)."""
+        topview/corner/corner2/corner3/corner4/behindGripper/gripperPOV,
+        xyz_base.xml:16-20,152-153; width/height per _init_each_env,
+        ref __init__.py:407-410)."""
         from metaworld_tpu.render import render_camera
 
         depth = self.render_mode == "depth_array"
         cam = self.camera_name
         if depth and cam == "topview":
             cam = "corner"
-        return render_camera(self.spec_, self._state, camera=cam, depth=depth)
+        return render_camera(self.spec_, self._state, camera=cam, depth=depth,
+                             width=self.width, height=self.height)
 
 
 # ---------------------------------------------------------------------------
@@ -375,8 +384,21 @@ class GymVectorBatch(gym.vector.VectorEnv if _HAS_GYM else object):
             engine = self.envs
             while not hasattr(engine, "terminate_on_success"):
                 engine = engine.envs     # unwrap EnvPipeline
-            engine.terminate_on_success = bool(args[0])
-            engine._step_jit = jax.jit(engine._step_impl)  # retrace w/ flag
+            flag = bool(args[0])
+            # the flag is compiled into the step program; keep one compiled
+            # program per flag value so toggling is cheap after the first
+            # time (the reference's toggle is a free attribute write,
+            # ref evaluation.py:54,96 — a full re-trace per toggle would
+            # discard the XLA cache every eval round)
+            cache = getattr(engine, "_step_jit_by_flag", None)
+            if cache is None:
+                cache = engine._step_jit_by_flag = {
+                    engine.terminate_on_success: engine._step_jit}
+            if flag not in cache:
+                engine.terminate_on_success = flag
+                cache[flag] = jax.jit(engine._step_impl)
+            engine.terminate_on_success = flag
+            engine._step_jit = cache[flag]
             return [None] * self.num_envs
         raise AttributeError(method)
 

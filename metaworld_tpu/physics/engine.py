@@ -363,7 +363,10 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             vel = jnp.where(free[:, None], v2, vel)
             pad_push_depth.append(depth2 * scene.obj_exists)
 
-        # object-object contact (two-object scenes)
+        # object-object contact (two-object scenes), symmetric resolution:
+        # the separation splits between the bodies by mobility — an
+        # attached/pinned body is an immovable anchor, two free bodies
+        # each take half (equal-mass split)
         delta = pos[0] - pos[1]
         dist = _norm(delta)
         r_sum = scene.obj_radius[0] + scene.obj_radius[1]
@@ -376,13 +379,17 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             & (scene.link_enable == 0)
         )
         n = delta / jnp.maximum(dist, 1e-9)
-        # push the second object (first is usually the tool/grasped one)
-        row1 = jnp.array([[0.0], [1.0]])
-        pos = pos + row1 * (jnp.where(both & (sim.attached[1] == 0), -pen, 0.0) * n)[None, :]
-        v_n = jnp.dot(vel[0] - vel[1], n)
-        vel = vel + row1 * (
-            jnp.where(both & (pen > 0) & (v_n > 0) & (sim.attached[1] == 0), v_n, 0.0) * n
-        )[None, :]
+        mobile = (sim.attached == 0) & ~pinned_anchor & (scene.obj_exists > 0)
+        w_tot = jnp.maximum(mobile[0] + mobile[1] * 1.0, 1.0)
+        w = mobile / w_tot  # (2,) fraction of the separation each body takes
+        sign = jnp.array([[1.0], [-1.0]])  # +n moves obj0 away from obj1
+        active = both & (pen > 0.0)
+        pos = pos + sign * (jnp.where(active, pen, 0.0) * w[:, None]) * n[None, :]
+        v_n = jnp.dot(vel[0] - vel[1], n)  # approach rate when negative... (>0 = separating along +n? no: v_n>0 means obj0 moving toward +n i.e. apart)
+        approaching = v_n < 0.0
+        vel = vel - sign * (
+            jnp.where(active & approaching, v_n, 0.0) * w[:, None]
+        ) * n[None, :]
 
         # static boxes (walls, bins, shelves, pegs)
         box_pos, box_size = _static_boxes_world(scene, sim.fixture_pos)

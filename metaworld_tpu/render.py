@@ -113,121 +113,183 @@ def render_state(spec, state) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# perspective cameras + depth (ref xyz_base.xml:16-20 cameras, docs/rendering)
+# perspective cameras + depth (ref xyz_base.xml:16-20,152-153, docs/rendering)
 # ---------------------------------------------------------------------------
+#
+# Geometry-true software ray caster: per-pixel rays against the actual
+# scene primitives (bounded table plane with pit cutout, axis-aligned
+# static boxes, sphere/cylinder-ish objects, pad boxes, fixture handles),
+# fully vectorized over the pixel grid. Any resolution; exact depth.
 
+# camera name -> (position, look_at, fovy_deg); positions from the
+# reference MJCF (xyz_base.xml:16-20); behindGripper/gripperPOV track the
+# live hand (xyz_base.xml:152-153)
 CAMERAS = {
-    # name: (position, look-at) in world coordinates
-    "corner": (np.array([1.1, 0.0, 0.8]), np.array([0.0, 0.65, 0.1])),
-    "corner2": (np.array([-1.1, 0.0, 0.8]), np.array([0.0, 0.65, 0.1])),
-    "behindGripper": (None, None),  # computed from the live hand pose
+    "corner": (np.array([-1.1, -0.4, 0.6]), np.array([0.0, 0.6, 0.15]), 45.0),
+    "corner2": (np.array([1.3, -0.2, 1.1]), np.array([0.0, 0.65, 0.1]), 60.0),
+    "corner3": (np.array([0.9, 0.0, 1.5]), np.array([0.0, 0.65, 0.0]), 45.0),
+    "corner4": (np.array([0.75, 0.075, 0.7]), np.array([-0.1, 0.7, 0.1]), 60.0),
+    "behindGripper": (None, None, 60.0),
+    "gripperPOV": (None, None, 90.0),
 }
-_FOCAL = 500.0
 
 
 def _view(cam_pos, look_at):
     fwd = look_at - cam_pos
     fwd = fwd / np.linalg.norm(fwd)
-    right = np.cross(fwd, np.array([0.0, 0.0, 1.0]))
+    ref_up = np.array([0.0, 0.0, 1.0])
+    if abs(fwd @ ref_up) > 0.98:  # straight up/down: use +y as up reference
+        ref_up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, ref_up)
     right = right / max(np.linalg.norm(right), 1e-9)
     up = np.cross(right, fwd)
     return np.stack([right, up, fwd]), cam_pos
 
 
-def _project(R, C, pts):
-    """World points -> (u, v, depth). Camera z is the view-ray distance."""
-    q = (pts - C) @ R.T
-    z = np.maximum(q[:, 2], 1e-3)
-    u = W / 2 + _FOCAL * q[:, 0] / z
-    v = H / 2 - _FOCAL * q[:, 1] / z
-    return u, v, z
-
-
-def _primitives(spec, state):
-    """(pos(3), world radius, rgb) spheres describing the scene."""
+def _scene_boxes(spec, state):
+    """Axis-aligned boxes [(lo(3), hi(3), rgb)] of the live scene."""
     scene = spec.scene
     fixture = np.asarray(state.sim.fixture_pos)
-    prims = []
-    # static boxes as coarse sphere clouds
+    boxes = []
     for i in range(scene.static_exists.shape[0]):
         if scene.static_exists[i] <= 0:
             continue
         pos = np.asarray(scene.static_pos[i]) + (
             fixture if scene.static_rel[i] > 0 else 0.0)
         size = np.asarray(scene.static_size[i])
-        n = np.maximum((size / 0.03).astype(int), 1)
-        for ix in range(n[0]):
-            for iy in range(n[1]):
-                p = pos + (np.array([ix + 0.5, iy + 0.5, 0.5]) / n - 0.5) \
-                    * 2 * size * np.array([1, 1, 0])
-                prims.append((p, float(min(size[2], 0.03)), (120, 120, 130)))
+        boxes.append((pos - size, pos + size, (120, 120, 130)))
+    # gripper pads (thin vertical plates, ref xyz_base.xml:171,183)
+    pad_half = np.array([0.015, 0.0045, 0.045])
+    for pad in (np.asarray(state.sim.pad_l), np.asarray(state.sim.pad_r)):
+        boxes.append((pad - pad_half, pad + pad_half, (40, 40, 40)))
+    return boxes
+
+
+def _scene_spheres(spec, state):
+    """Spheres [(center(3), r, rgb)]: objects, handles, target, wrist."""
+    scene = spec.scene
+    spheres = []
     t = np.asarray(state.target)
-    prims.append((t, 0.012, (220, 40, 40)))
+    spheres.append((t, 0.015, (220, 40, 40)))
     obj = np.asarray(state.sim.obj_pos)
     for i in range(obj.shape[0]):
         if scene.obj_exists[i] > 0:
-            prims.append((obj[i], float(scene.obj_radius[i]), (40, 90, 220)))
+            spheres.append((obj[i], float(scene.obj_radius[i]), (40, 90, 220)))
     from metaworld_tpu.physics import engine
 
     handles = np.asarray(engine.fixture_handle_pos(
         spec.scene_device, state.sim.fixture_pos, state.sim.joint_q))
     for i in range(handles.shape[0]):
         if scene.joint_exists[i] > 0:
-            prims.append((handles[i], 0.02, (250, 160, 30)))
+            spheres.append((handles[i], float(scene.joint_handle_radius[i]),
+                            (250, 160, 30)))
     hand = np.asarray(state.sim.hand)
-    gap = float(state.sim.gripper) * 0.1 - 0.006
-    for s in (-1.0, 1.0):
-        prims.append((hand + np.array([0.0, s * gap / 2, 0.045]), 0.012,
-                      (30, 30, 30)))
-    prims.append((hand, 0.01, (0, 200, 0)))
-    return prims
+    spheres.append((hand + np.array([0.0, 0.0, 0.09]), 0.03, (70, 70, 75)))
+    return spheres
 
 
-def render_camera(spec, state, camera: str = "corner",
-                  depth: bool = False) -> np.ndarray:
-    """Perspective render from a named camera; returns (H, W, 3) uint8 rgb,
-    or (H, W) float32 view-ray depth in meters when depth=True."""
+_LIGHT = np.array([0.35, -0.5, 0.8])
+_LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
+
+
+def render_camera(spec, state, camera: str = "corner", width: int = W,
+                  height: int = H, depth: bool = False) -> np.ndarray:
+    """Render from a named camera (topview/corner/corner2/corner3/corner4/
+    behindGripper/gripperPOV — the reference's camera set, ref
+    xyz_base.xml:16-20,152-153 and width/height kwargs of _init_each_env,
+    ref __init__.py:407-410). Returns (height, width, 3) uint8 rgb, or
+    (height, width) float32 view-ray depth in meters when depth=True."""
     if camera == "topview":
         assert not depth, "topview is the orthographic rasterizer (rgb only)"
-        return render_state(spec, state)
+        img = render_state(spec, state)
+        if (height, width) != img.shape[:2]:
+            ys = (np.arange(height) * img.shape[0] // height)
+            xs = (np.arange(width) * img.shape[1] // width)
+            img = img[ys][:, xs]
+        return img
+    hand = np.asarray(state.sim.hand)
     if camera == "behindGripper":
-        hand = np.asarray(state.sim.hand)
-        cam_pos = hand + np.array([0.0, -0.35, 0.25])
-        look = hand
+        cam_pos, look, fovy = hand + np.array([0.0, -0.05, 0.55]), hand, 60.0
+    elif camera == "gripperPOV":
+        cam_pos = hand + np.array([0.0, -0.07, 0.07])
+        look, fovy = hand + np.array([0.0, 0.25, -0.12]), 90.0
     else:
-        cam_pos, look = CAMERAS[camera]
+        cam_pos, look, fovy = CAMERAS[camera]
     R, C = _view(cam_pos, look)
 
-    img = np.full((H, W, 3), 235, dtype=np.uint8)
-    zbuf = np.full((H, W), np.inf, dtype=np.float32)
+    # pixel ray grid
+    focal = 0.5 * height / np.tan(np.radians(fovy) / 2.0)
+    xs = (np.arange(width) - width / 2 + 0.5) / focal
+    ys = -(np.arange(height) - height / 2 + 0.5) / focal
+    u, v = np.meshgrid(xs, ys)
+    dirs = np.stack([u, v, np.ones_like(u)], axis=-1) @ R
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = dirs.reshape(-1, 3)
+    n_pix = d.shape[0]
 
-    # table: coarse grid of patches
-    gx, gy = np.meshgrid(np.linspace(-0.55, 0.55, 40),
-                         np.linspace(0.25, 1.0, 28))
-    table_pts = np.stack([gx.ravel(), gy.ravel(),
-                          np.zeros(gx.size)], axis=1)
-    prims = [(p, 0.022, (205, 185, 150)) for p in table_pts]
-    prims += _primitives(spec, state)
+    t_hit = np.full(n_pix, np.inf)
+    col = np.full((n_pix, 3), 235.0)
+    nrm = np.zeros((n_pix, 3))
 
-    pts = np.asarray([p for p, _, _ in prims])
-    u, v, z = _project(R, C, pts)
-    order = np.argsort(-z)  # painter: far to near
-    for idx in order:
-        p, r, color = prims[idx]
-        r_px = max(int(_FOCAL * r / z[idx]), 1)
-        cx, cy = int(u[idx]), int(v[idx])
-        x0, x1 = max(cx - r_px, 0), min(cx + r_px + 1, W)
-        y0, y1 = max(cy - r_px, 0), min(cy + r_px + 1, H)
-        if x0 >= x1 or y0 >= y1:
+    def consider(t, mask, normal, color):
+        m = mask & (t < t_hit) & (t > 1e-4)
+        t_hit[m] = t[m]
+        col[m] = color
+        nrm[m] = normal if normal.ndim == 1 else normal[m]
+
+    # table top (z=0 rect, pit cutout) and pit floor
+    scene = spec.scene
+    hs = np.asarray(scene.hole_halfsize)
+    hc = np.asarray(scene.hole_center)
+    pit = float(scene.pit_depth)
+    dz = d[:, 2]
+    ok = np.abs(dz) > 1e-9
+    for plane_z, color in ((0.0, (205, 185, 150)),
+                           (-pit if (hs > 0).any() else None, (90, 70, 50))):
+        if plane_z is None:
             continue
-        yy, xx = np.mgrid[y0:y1, x0:x1]
-        mask = (xx - cx) ** 2 + (yy - cy) ** 2 <= r_px ** 2
-        img[y0:y1, x0:x1][mask] = color
-        zb = zbuf[y0:y1, x0:x1]
-        zb[mask] = np.minimum(zb[mask], z[idx])
-        zbuf[y0:y1, x0:x1] = zb
+        t = np.where(ok, (plane_z - C[2]) / np.where(ok, dz, 1.0), np.inf)
+        pt = C[None, :] + t[:, None] * d
+        on_table = ((np.abs(pt[:, 0]) <= 0.55)
+                    & (pt[:, 1] >= 0.25) & (pt[:, 1] <= 1.0))
+        if plane_z == 0.0 and (hs > 0).any():
+            in_hole = ((np.abs(pt[:, 0] - hc[0]) <= hs[0])
+                       & (np.abs(pt[:, 1] - hc[1]) <= hs[1]))
+            on_table &= ~in_hole
+        consider(t, ok & on_table & (t > 0), np.array([0.0, 0.0, 1.0]), color)
+
+    # axis-aligned boxes (slab test, vectorized over pixels)
+    for lo, hi, color in _scene_boxes(spec, state):
+        inv = 1.0 / np.where(np.abs(d) > 1e-12, d, 1e-12)
+        t0 = (lo[None, :] - C[None, :]) * inv
+        t1 = (hi[None, :] - C[None, :]) * inv
+        tmin = np.minimum(t0, t1)
+        tmax = np.maximum(t0, t1)
+        t_near = tmin.max(axis=1)
+        t_far = tmax.min(axis=1)
+        hit = (t_near <= t_far) & (t_far > 0)
+        axis = np.argmax(tmin, axis=1)
+        normal = -np.sign(d[np.arange(n_pix), axis])[:, None] * np.eye(3)[axis]
+        consider(np.where(hit, np.maximum(t_near, 1e-4), np.inf), hit,
+                 normal, color)
+
+    # spheres
+    for c0, r, color in _scene_spheres(spec, state):
+        oc = C - c0
+        b = d @ oc
+        disc = b * b - (oc @ oc - r * r)
+        hit = disc > 0
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t = np.where(-b - sq > 1e-4, -b - sq, -b + sq)
+        pt = C[None, :] + t[:, None] * d
+        normal = (pt - c0[None, :]) / max(r, 1e-9)
+        consider(np.where(hit, t, np.inf), hit, normal, color)
 
     if depth:
-        zbuf[np.isinf(zbuf)] = 0.0
-        return zbuf
-    return img
+        z = t_hit.reshape(height, width).astype(np.float32)
+        z[~np.isfinite(z)] = 0.0
+        return z
+    shade = 0.6 + 0.4 * np.clip(nrm @ _LIGHT, 0.0, 1.0)
+    shade[~np.isfinite(t_hit)] = 1.0
+    out = np.clip(col * shade[:, None], 0, 255).astype(np.uint8)
+    return out.reshape(height, width, 3)

@@ -23,7 +23,7 @@ from metaworld_tpu.envs.core import env_reset, env_step
 from metaworld_tpu.policies import get_policy
 
 
-def run_task(name: str, n_goals: int = 10, seed: int = 42) -> float:
+def run_task(name: str, n_goals: int = 50, seed: int = 42) -> float:
     spec = registry.get_spec(name)
     policy = get_policy(name)
     bench = benchmarks.MT1(name, seed=seed)
@@ -47,10 +47,17 @@ def run_task(name: str, n_goals: int = 10, seed: int = 42) -> float:
 
 
 def main():
-    names = sys.argv[1:] or registry.ALL_V3_ENVIRONMENTS
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", default=None)
+    ap.add_argument("--goals", type=int, default=50,
+                    help="goals per task (the reference bar runs 50, "
+                         "ref test_scripted_policies.py:26-35)")
+    args = ap.parse_args()
+    names = args.names or registry.ALL_V3_ENVIRONMENTS
     results = {}
     for name in names:
-        rate = run_task(name)
+        rate = run_task(name, n_goals=args.goals)
         results[name] = rate
         flag = "" if rate >= 0.8 else "  <-- BELOW 0.80"
         print(f"{name}: {rate:.2f}{flag}", flush=True)
