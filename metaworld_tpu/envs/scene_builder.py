@@ -63,6 +63,7 @@ class StaticBox:
     pos: tuple = (0.0, 0.0, 0.0)
     size: tuple = (0.05, 0.05, 0.05)
     rel_fixture: bool = False          # positioned relative to fixture base
+    blocks_hand: bool = True           # the gripper collides with this box
 
 
 def build_scene(
@@ -123,6 +124,8 @@ def build_scene(
         static_pos=pad([x.pos for x in b], MAX_STATIC, 3).astype(f),
         static_size=pad([x.size for x in b], MAX_STATIC, 3).astype(f),
         static_rel=pad([float(x.rel_fixture) for x in b], MAX_STATIC).astype(f),
+        static_blocks_hand=pad([float(x.blocks_hand) for x in b],
+                               MAX_STATIC).astype(f),
         hole_center=np.asarray(hole_center, dtype=f),
         hole_halfsize=np.asarray(hole_halfsize, dtype=f),
         pit_depth=np.asarray(pit_depth, dtype=f),

@@ -72,17 +72,16 @@ def _reward(spec: TaskSpec, state, obs, action):
     reward = jnp.where(holding, reward + 1.0 + 5.0 * in_place, reward)
     reward = jnp.where(target_to_obj < target_radius, 10.0, reward)
 
-    obj_to_target_plain = jnp.linalg.norm(obj - state.target)
     return common.eval_out(
         reward=reward,
-        success=(obj_to_target_plain <= target_radius).astype(jnp.float32),
+        success=(target_to_obj <= target_radius).astype(jnp.float32),
         near_object=(tcp_to_obj <= 0.05).astype(jnp.float32),
         grasp_success=(
             (tcp_opened > 0) & (obj[2] - 0.03 > state.obj_init_pos[0, 2])
         ).astype(jnp.float32),
         grasp_reward=object_grasped,
         in_place_reward=in_place,
-        obj_to_target=obj_to_target_plain,
+        obj_to_target=target_to_obj,
     )
 
 

@@ -84,11 +84,11 @@ def _reward(spec: TaskSpec, state, obs, action):
     return common.eval_out(
         reward=reward,
         success=success.astype(jnp.float32),
-        near_object=radius,
-        grasp_success=reward_grab,
-        grasp_reward=ready_to_lift,
+        near_object=ready_to_lift,
+        grasp_success=(reward_grab >= 0.5).astype(jnp.float32),
+        grasp_reward=reward_grab,
         in_place_reward=lifted,
-        obj_to_target=jnp.linalg.norm(obs[4:7] - state.target),
+        obj_to_target=0.0,
     )
 
 

@@ -82,7 +82,7 @@ def make_spec(task_id: int) -> TaskSpec:
             range=(0.0, 0.09), damping=8.0, stiffness=0.5, springref=0.0,
             inertia=0.2, handle_radius=0.025,
         )],
-        boxes=[StaticBox(pos=(0.0, 0.0, 0.0), size=(0.05, 0.04, 0.115),
+        boxes=[StaticBox(pos=(0.0, 0.012, 0.0), size=(0.12, 0.102, 0.115),
                          rel_fixture=True)],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

@@ -72,7 +72,7 @@ def make_spec(task_id: int) -> TaskSpec:
             inertia=0.2, handle_radius=0.025,
         )],
         boxes=[
-            StaticBox(pos=(0.0, 0.0, 0.0), size=(0.05, 0.04, 0.115), rel_fixture=True),
+            StaticBox(pos=(0.0, 0.012, 0.0), size=(0.12, 0.102, 0.115), rel_fixture=True),
             StaticBox(pos=(0.1, 0.7, 0.05), size=(0.12, 0.01, 0.05)),
         ],
         mocap_low=(-0.5, 0.40, 0.05),

@@ -69,7 +69,7 @@ def _reward(spec: TaskSpec, state, obs, action):
     return common.eval_out(
         reward=reward,
         success=(target_to_obj <= _R).astype(jnp.float32),
-        near_object=(tcp_to_obj <= 0.05).astype(jnp.float32),
+        near_object=(tcp_to_obj <= 0.01).astype(jnp.float32),
         grasp_success=1.0,
         grasp_reward=reach,
         in_place_reward=in_place,

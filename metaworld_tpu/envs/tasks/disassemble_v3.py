@@ -60,11 +60,11 @@ def _reward(spec: TaskSpec, state, obs, action):
     return common.eval_out(
         reward=reward,
         success=success.astype(jnp.float32),
-        near_object=reward_grab,
-        grasp_success=reward_grab,
-        grasp_reward=reward_quat,
+        near_object=reward_quat,
+        grasp_success=(reward_grab >= 0.5).astype(jnp.float32),
+        grasp_reward=reward_grab,
         in_place_reward=reward_in_place,
-        obj_to_target=jnp.linalg.norm(wrench_center - state.target),
+        obj_to_target=0.0,
     )
 
 

@@ -66,9 +66,9 @@ def _reward(spec: TaskSpec, state, obs, action):
     return common.eval_out(
         reward=reward,
         success=(obj_to_target <= 0.08).astype(jnp.float32),
-        near_object=tcp_to_target,
+        near_object=0.0,
         grasp_success=1.0,
-        grasp_reward=hand_in_place,
+        grasp_reward=1.0,
         in_place_reward=in_place,
         obj_to_target=obj_to_target,
     )

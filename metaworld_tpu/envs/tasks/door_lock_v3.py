@@ -66,7 +66,7 @@ def _reward(spec: TaskSpec, state, obs, action):
     return common.eval_out(
         reward=reward,
         success=(obj_to_target <= 0.02).astype(jnp.float32),
-        near_object=tcp_to_obj,
+        near_object=(tcp_to_obj <= 0.05).astype(jnp.float32),
         grasp_success=(obs[3] > 0).astype(jnp.float32),
         grasp_reward=near_lock,
         in_place_reward=lock_pressed,

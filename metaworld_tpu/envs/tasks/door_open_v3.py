@@ -80,11 +80,11 @@ def _reward(spec: TaskSpec, state, obs, action):
     return common.eval_out(
         reward=reward,
         success=success.astype(jnp.float32),
-        near_object=radius,
-        grasp_success=reward_grab,
-        grasp_reward=ready_to_open,
+        near_object=ready_to_open,
+        grasp_success=(reward_grab >= 0.5).astype(jnp.float32),
+        grasp_reward=reward_grab,
         in_place_reward=opened,
-        obj_to_target=jnp.abs(obs[4] - state.target[0]),
+        obj_to_target=0.0,
     )
 
 

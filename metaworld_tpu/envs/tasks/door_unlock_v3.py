@@ -67,7 +67,8 @@ def _reward(spec: TaskSpec, state, obs, action):
     return common.eval_out(
         reward=reward,
         success=(obj_to_target <= 0.02).astype(jnp.float32),
-        near_object=jnp.linalg.norm(shoulder_to_lock),
+        near_object=(jnp.linalg.norm(shoulder_to_lock) <= 0.05
+                     ).astype(jnp.float32),
         grasp_success=(obs[3] > 0).astype(jnp.float32),
         grasp_reward=ready_to_push,
         in_place_reward=pushed,

@@ -19,7 +19,10 @@ from metaworld_tpu.rewards import utils as reward_utils
 from metaworld_tpu.types import JointType
 
 _MAX_DIST = 0.15
-_R = 0.04
+# the ref class defines _TARGET_RADIUS=0.04 but reads
+# self.TARGET_RADIUS (no underscore) everywhere = base 0.05
+# (sawyer_drawer_close_v3.py:16 vs :81,:139-140)
+_R = 0.05
 _HANDLE_OFF = (0.0, -0.17, 0.14)
 
 
@@ -68,7 +71,7 @@ def _reward(spec: TaskSpec, state, obs, action):
     return common.eval_out(
         reward=reward,
         success=(target_to_obj <= _R + 0.015).astype(jnp.float32),
-        near_object=(tcp_to_obj <= 0.03).astype(jnp.float32),
+        near_object=(tcp_to_obj <= 0.01).astype(jnp.float32),
         grasp_success=1.0,
         grasp_reward=reach,
         in_place_reward=in_place,

@@ -63,8 +63,9 @@ def _reward(spec: TaskSpec, state, obs, action):
     return common.eval_out(
         reward=reward,
         success=(handle_error <= 0.03).astype(jnp.float32),
-        near_object=jnp.linalg.norm(handle - gripper),
-        grasp_success=obs[3],
+        near_object=(jnp.linalg.norm(handle - gripper) <= 0.03
+                     ).astype(jnp.float32),
+        grasp_success=(obs[3] > 0).astype(jnp.float32),
         grasp_reward=reward_for_caging,
         in_place_reward=reward_for_opening,
         obj_to_target=handle_error,

@@ -57,8 +57,8 @@ def _reward(spec: TaskSpec, state, obs, action):
     reward = jnp.where(target_to_obj < _R, 10.0, reward)
     return common.eval_out(
         reward=reward,
-        success=(target_to_obj <= _R).astype(jnp.float32),
-        near_object=(tcp_to_obj <= 0.03).astype(jnp.float32),
+        success=(target_to_obj <= 0.08).astype(jnp.float32),
+        near_object=(tcp_to_obj <= 0.05).astype(jnp.float32),
         grasp_success=(obs[3] > 0).astype(jnp.float32),
         grasp_reward=object_grasped,
         in_place_reward=in_place,

@@ -73,11 +73,12 @@ def _reward(spec: TaskSpec, state, obs, action):
     return common.eval_out(
         reward=reward,
         success=(lever_error <= jnp.pi / 24).astype(jnp.float32),
-        near_object=jnp.linalg.norm(shoulder_to_lever),
-        grasp_success=ready_to_lift,
-        grasp_reward=lever_error,
+        near_object=(jnp.linalg.norm(shoulder_to_lever) < 0.03
+                     ).astype(jnp.float32),
+        grasp_success=(ready_to_lift > 0.9).astype(jnp.float32),
+        grasp_reward=ready_to_lift,
         in_place_reward=lever_engagement,
-        obj_to_target=obj_to_target,
+        obj_to_target=jnp.linalg.norm(shoulder_to_lever),
     )
 
 

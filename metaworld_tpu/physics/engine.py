@@ -67,6 +67,8 @@ _L_RANGE = (-0.03, 0.0)
 
 # contact / interaction constants
 _HAND_SPHERE_R = 0.026   # palm/claw effective radius for pushing
+_HAND_TIP_R = 0.005      # fingertip sphere vs static geometry
+_HAND_KNUCKLE_R = 0.03   # knuckle block sphere vs static geometry
 _FRICTION_DEFAULT = 0.55
 _GRASP_XZ_TOL = 0.035    # max horizontal tcp-to-object distance for a grasp
 _GRASP_Z_SPAN = 0.09     # pads (vertical plates) span tcp .. tcp+0.09 in z
@@ -242,6 +244,32 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         target = sim.mocap + TCP_OFFSET
         alpha = 1.0 - jnp.exp(-dt / HAND_TAU)
         new_hand = sim.hand + (target - sim.hand) * alpha
+
+        # --- hand vs static geometry ---
+        # The reference's arm is a real collider: fixture bodies stop the
+        # gripper even though the mocap target marches on (the weld
+        # constraint yields). Model the claw as two spheres — fingertip at
+        # the tcp, knuckle block above — pushed out of every
+        # blocks_hand-flagged box each substep.
+        box_pos_h, box_size_h = _static_boxes_world(scene, sim.fixture_pos)
+        blk = scene.static_exists * scene.static_blocks_hand
+
+        def hand_clear(h):
+            def one(bp, bs, on):
+                corr, _, _ = _sphere_box_pushout(h, _HAND_TIP_R, bp, bs)
+                return corr * on
+            tip = jnp.sum(jax.vmap(one)(box_pos_h, box_size_h, blk), axis=0)
+            h = h + tip
+
+            def one_k(bp, bs, on):
+                corr, _, _ = _sphere_box_pushout(
+                    h + jnp.array([0.0, 0.0, 0.105]), _HAND_KNUCKLE_R, bp, bs)
+                return corr * on
+            knuckle = jnp.sum(jax.vmap(one_k)(box_pos_h, box_size_h, blk),
+                              axis=0)
+            return h + knuckle
+
+        new_hand = hand_clear(new_hand)
         hand_vel = (new_hand - sim.hand) / dt
 
         # --- grasped-object gap clamp ---
@@ -664,6 +692,10 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         )
         return new_sim, None
 
+    # NB: unrolling this scan (unroll=FRAME_SKIP) looks attractive but
+    # explodes XLA compile time on TPU (minutes instead of seconds) for a
+    # negligible steady-state gain — the scan body is already one fused
+    # kernel per substep
     sim, _ = jax.lax.scan(substep, sim, None, length=FRAME_SKIP)
     return sim
 

@@ -119,6 +119,10 @@ class SceneParams:
     static_pos: jnp.ndarray      # (MAX_STATIC, 3) box center
     static_size: jnp.ndarray     # (MAX_STATIC, 3) half sizes
     static_rel: jnp.ndarray      # (MAX_STATIC,) 0/1 — positioned relative to fixture base
+    static_blocks_hand: jnp.ndarray  # (MAX_STATIC,) 0/1 — the hand collides
+                                 # with this box (the reference arm is blocked
+                                 # by fixture bodies; boxes transcribed only
+                                 # for object contacts can opt out)
 
     # --- table topology (holes / pits: table_with_hole, pick_out_of_hole) ---
     hole_center: jnp.ndarray     # (2,) xy

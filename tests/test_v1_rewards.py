@@ -9,10 +9,9 @@ demands per-step agreement.
 Tolerances: v1 rewards are O(1000) with hard gates at reachDist==0.05, so
 a few boundary steps can legitimately flip when our finger-site model
 differs from the reference by fractions of a millimetre — a 1% step budget
-absorbs that. Tasks whose v1 formula reads rotating-body geometry the obs
-doesn't expose (assembly's nut COM, hammer's head geom — the reference
-objects rotate in the grip, ours don't) get a relaxed envelope; their
-formulas are exact for our own engine's rollouts.
+absorbs that. Rotating-body geometry is read from the live quaternions
+(hammer head from obs[7:11]) or injected sim state (nut COM), so every
+task holds the default envelope.
 """
 
 import jax
@@ -26,11 +25,10 @@ from metaworld_tpu.rewards.v1 import V1_REWARDS
 
 GOLD = "tests/golden_v1"
 
-# (max fraction of mismatching steps, max p95 relative error)
-_BOUNDS = {
-    "assembly-v3": (0.05, 0.02),
-    "disassemble-v3": (0.05, 0.02),
-}
+# (max fraction of mismatching steps, max p95 relative error) — every
+# task now holds the default envelope; the nut-COM injection makes
+# assembly/disassemble exact too (measured 0.0000 frac, p95 <= 1.1e-3)
+_BOUNDS = {}
 # these rewards read the nut COM via sim.obj_pos; the replay injects the
 # recorded reference nut_com trace for it
 _QPOS_OBJ = {"assembly-v3", "disassemble-v3"}
