@@ -13,7 +13,7 @@ import numpy as np
 
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec
-from metaworld_tpu.envs.scene_builder import FixtureJoint, build_scene
+from metaworld_tpu.envs.scene_builder import FixtureJoint, StaticBox, build_scene
 from metaworld_tpu.envs.tasks import common
 from metaworld_tpu.physics import engine
 from metaworld_tpu.rewards import utils as reward_utils
@@ -81,6 +81,10 @@ def make_faucet_spec(name, task_id, obj_low, obj_high, ccw: bool, obj_offset,
         )
 
     scene = build_scene(
+        # the faucet column (faucet.xml:5-6: base disc + riser the handle
+        # swings around) — the reference claw is deflected by it
+        boxes=[StaticBox(pos=(0.0, 0.0, 0.062), size=(0.018, 0.018, 0.062),
+                         rel_fixture=True)],
         joints=[FixtureJoint(
             kind=JointType.HINGE,
             axis=(0.0, 0.0, 1.0) if ccw else (0.0, 0.0, -1.0),

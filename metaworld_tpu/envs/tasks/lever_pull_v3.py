@@ -14,7 +14,7 @@ import numpy as np
 
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec
-from metaworld_tpu.envs.scene_builder import FixtureJoint, build_scene
+from metaworld_tpu.envs.scene_builder import FixtureJoint, StaticBox, build_scene
 from metaworld_tpu.envs.tasks import common
 from metaworld_tpu.physics import engine
 from metaworld_tpu.rewards import utils as reward_utils
@@ -85,6 +85,12 @@ def _reward(spec: TaskSpec, state, obs, action):
 @registry.register("lever-pull-v3")
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
+        boxes=[
+            StaticBox(pos=(0.0, 0.0, 0.125), size=(0.041, 0.083, 0.125),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, 0.0, 0.25), size=(0.041, 0.083, 0.083),
+                      rel_fixture=True),
+        ],
         joints=[FixtureJoint(
             kind=JointType.HINGE, axis=(-1.0, 0.0, 0.0), anchor=_PIVOT, arm=_ARM,
             range=(-0.7, 1.8), damping=3.0, inertia=0.5, bias=-0.8,

@@ -16,7 +16,7 @@ import numpy as np
 
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec, gripper_caging_reward, touching_main_object
-from metaworld_tpu.envs.scene_builder import FreeObj, build_scene
+from metaworld_tpu.envs.scene_builder import FreeObj, StaticBox, build_scene
 from metaworld_tpu.envs.tasks import common
 from metaworld_tpu.rewards import utils as reward_utils
 
@@ -42,6 +42,7 @@ def _reset(spec: TaskSpec, rand, rng):
         obj_pos=common.pad_obj_pos(peg),
         obj_init_pos=common.pad_obj_pos(peg_com),
         target=target,
+        fixture_pos=box,
         extras=common.extras_vec(head0[0], head0[1], head0[2]),
     )
 
@@ -110,6 +111,20 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         objs=[FreeObj(radius=0.018, half_h=0.03, graspable=True,
                       grasp_halfwidth=0.015)],
+        # the peg block's collision shell (peg_block.xml:5-11, euler-z 90
+        # mount: local (x,y,z) -> world (-y,x,z)): base, upper lip, and
+        # the two flanks framing the hole mouth (y in [-0.03,0.03],
+        # z in [0.10,0.16] rel box)
+        boxes=[
+            StaticBox(pos=(0.0, 0.0, 0.05), size=(0.096, 0.09, 0.05),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, 0.0, 0.185), size=(0.098, 0.09, 0.025),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, 0.06, 0.13), size=(0.096, 0.03, 0.03),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, -0.06, 0.13), size=(0.096, 0.03, 0.03),
+                      rel_fixture=True),
+        ],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )

@@ -93,10 +93,16 @@ def make_spec(task_id: int) -> TaskSpec:
                       grasp_halfwidth=0.026, mass=0.05)],
         # goal frame: back net + posts catch the ball (the fixture base is
         # moved to the sampled goal at reset)
+        # thin goal frame: the ball bounces off it, but the claw sweeping
+        # a kick must not snag on centimeter-wide posts the real fingers
+        # slip past (blocks_hand off)
         boxes=[
-            StaticBox(pos=(0.0, 0.09, 0.05), size=(0.18, 0.01, 0.05), rel_fixture=True),
-            StaticBox(pos=(-0.18, 0.0, 0.05), size=(0.01, 0.1, 0.05), rel_fixture=True),
-            StaticBox(pos=(0.18, 0.0, 0.05), size=(0.01, 0.1, 0.05), rel_fixture=True),
+            StaticBox(pos=(0.0, 0.09, 0.05), size=(0.18, 0.01, 0.05),
+                      rel_fixture=True, blocks_hand=False),
+            StaticBox(pos=(-0.18, 0.0, 0.05), size=(0.01, 0.1, 0.05),
+                      rel_fixture=True, blocks_hand=False),
+            StaticBox(pos=(0.18, 0.0, 0.05), size=(0.01, 0.1, 0.05),
+                      rel_fixture=True, blocks_hand=False),
         ],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

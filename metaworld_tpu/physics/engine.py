@@ -254,6 +254,8 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         box_pos_h, box_size_h = _static_boxes_world(scene, sim.fixture_pos)
         blk = scene.static_exists * scene.static_blocks_hand
 
+        pad_half_blk = jnp.array([0.015, 0.0045, 0.045])
+
         def hand_clear(h):
             def one(bp, bs, on):
                 corr, _, _ = _sphere_box_pushout(h, _HAND_TIP_R, bp, bs)
@@ -267,7 +269,29 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 return corr * on
             knuckle = jnp.sum(jax.vmap(one_k)(box_pos_h, box_size_h, blk),
                               axis=0)
-            return h + knuckle
+            h = h + knuckle
+
+            # pad plates (AABB vs AABB): the finger boxes span z
+            # [tcp, tcp+0.09] and are what actually lands on box lips and
+            # faces (e.g. peg-insertion: the pads on the hole's upper lip
+            # set the reference's insertion stop)
+            lpad, rpad = pad_kinematics(h, sim.gripper)
+
+            def one_p(pc, bp, bs, on):
+                d = pc - bp
+                pen = (pad_half_blk + bs) - jnp.abs(d)
+                hit = jnp.all(pen > 0.0) & (on > 0)
+                axis = jnp.argmin(pen)
+                hot = (jnp.arange(3) == axis).astype(d.dtype)
+                d_axis = jnp.sum(hot * d)
+                n = hot * jnp.where(d_axis >= 0, 1.0, -1.0)
+                return jnp.where(hit, jnp.sum(hot * pen), 0.0) * n
+            for pc in (lpad, rpad):
+                corr_p = jnp.sum(
+                    jax.vmap(one_p, in_axes=(None, 0, 0, 0))(
+                        pc, box_pos_h, box_size_h, blk), axis=0)
+                h = h + corr_p
+            return h
 
         new_hand = hand_clear(new_hand)
         hand_vel = (new_hand - sim.hand) / dt

@@ -32,10 +32,10 @@ CEILINGS = {
     "bin-picking-v3": (0.040, 0.037, 0.088, 1),
     "box-close-v3": (0.170, 0.204, 0.286, 0),
     "button-press-topdown-v3": (0.039, 0.061, 0.941, 0),
-    "button-press-topdown-wall-v3": (0.362, 0.044, 1.021, 1),
-    "button-press-v3": (0.118, 0.030, 0.411, 1),
-    "button-press-wall-v3": (0.040, 0.033, 0.451, 1),
-    "coffee-button-v3": (0.075, 0.030, 0.906, 1),
+    "button-press-topdown-wall-v3": (0.030, 0.031, 0.120, 1),
+    "button-press-v3": (0.123, 0.030, 0.376, 1),
+    "button-press-wall-v3": (0.030, 0.030, 0.331, 1),
+    "coffee-button-v3": (0.104, 0.033, 0.450, 1),
     "coffee-pull-v3": (0.032, 0.030, 0.083, 1),
     "coffee-push-v3": (0.030, 0.103, 1.173, 1),
     "dial-turn-v3": (0.106, 0.091, 1.002, 1),
@@ -44,7 +44,7 @@ CEILINGS = {
     "door-lock-v3": (0.580, 0.122, 0.736, 1),
     "door-open-v3": (0.366, 0.741, 1.150, 0),
     "door-unlock-v3": (0.282, 0.236, 1.128, 1),
-    "drawer-close-v3": (0.095, 0.268, 1.405, 1),
+    "drawer-close-v3": (0.077, 0.268, 1.405, 1),
     "drawer-open-v3": (0.158, 0.140, 0.882, 1),
     "faucet-close-v3": (0.385, 0.365, 0.904, 0),
     "faucet-open-v3": (0.369, 0.404, 1.008, 0),
@@ -55,7 +55,7 @@ CEILINGS = {
     "handle-pull-side-v3": (0.030, 0.261, 0.773, 1),
     "handle-pull-v3": (0.030, 0.030, 0.104, 1),
     "lever-pull-v3": (0.672, 0.623, 0.155, 1),
-    "peg-insert-side-v3": (0.596, 0.582, 1.229, 1),
+    "peg-insert-side-v3": (0.596, 0.582, 0.592, 1),
     "peg-unplug-side-v3": (0.049, 0.112, 0.472, 1),
     "pick-out-of-hole-v3": (0.038, 0.038, 0.088, 1),
     "pick-place-v3": (0.046, 0.044, 0.117, 1),
@@ -70,7 +70,7 @@ CEILINGS = {
     "reach-v3": (0.030, 0.030, 0.083, 1),
     "reach-wall-v3": (0.045, 0.030, 0.083, 1),
     "shelf-place-v3": (0.333, 0.295, 0.643, 1),
-    "soccer-v3": (0.176, 0.361, 0.778, 0),
+    "soccer-v3": (0.321, 0.361, 0.778, 0),
     "stick-pull-v3": (0.100, 0.068, 0.150, 1),
     "stick-push-v3": (0.277, 0.331, 1.232, 1),
     "sweep-into-v3": (0.185, 0.182, 0.317, 1),
