@@ -63,9 +63,12 @@ def test_info_metric_replay(name):
     if name in _UNMUT:
         OBS = _UNMUT[name](OBS)
 
+    # free-joint offset: 9 for most scenes, 0 for the coffee scenes whose
+    # mug joint is declared first (see test_v2_reward_replay)
+    _FREE_OFF = 0 if name.startswith("coffee-") else 9
     has_free = d["qpos"].shape[1] >= 16 and bool(
         np.asarray(spec.scene.obj_exists)[0])
-    q0_abs = d["qpos"][0][12:16] if has_free else None
+    q0_abs = d["qpos"][0][_FREE_OFF + 3:_FREE_OFF + 7] if has_free else None
     is_hammer = name == "hammer-v3"
     has_joint = bool(np.asarray(spec.scene.joint_exists).any())
 
@@ -73,10 +76,11 @@ def test_info_metric_replay(name):
         sim = state.sim.replace(hand=tcp, gripper=jnp.clip(o[3], 0.0, 1.0),
                                 pad_l=lp, pad_r=rp)
         if qp is not None:
-            qd = maths.quat_mul(qp[12:16],
+            qd = maths.quat_mul(qp[_FREE_OFF + 3:_FREE_OFF + 7],
                                 maths.quat_conj(jnp.asarray(q0_abs)))
-            sim = sim.replace(obj_pos=sim.obj_pos.at[0].set(qp[9:12]),
-                              obj_quat=sim.obj_quat.at[0].set(qd))
+            sim = sim.replace(
+                obj_pos=sim.obj_pos.at[0].set(qp[_FREE_OFF:_FREE_OFF + 3]),
+                obj_quat=sim.obj_quat.at[0].set(qd))
         if is_hammer:
             sim = sim.replace(joint_q=sim.joint_q.at[0].set(o[12] - 0.64))
         elif has_joint:

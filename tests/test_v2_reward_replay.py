@@ -48,11 +48,14 @@ def test_v2_reward_replay(name):
     if name in _UNMUT:
         OBS = _UNMUT[name](OBS)
 
-    # free-joint main object: qpos carries [9:12] pos + [12:16] quat (wxyz);
-    # inject both (delta quat = q x q0^-1, matching the engine's convention)
+    # free-joint main object: qpos carries the body pos + quat (wxyz) at
+    # the model's joint offset — 9 (after the 7 arm + 2 finger dofs) for
+    # most scenes, 0 for the coffee scenes whose mug joint is declared
+    # first; inject both (delta quat = q x q0^-1, engine convention)
+    _FREE_OFF = 0 if name.startswith("coffee-") else 9
     has_free = d["qpos"].shape[1] >= 16 and bool(np.asarray(spec.scene.obj_exists)[0])
     QPOS = d["qpos"] if has_free else None
-    q0_abs = d["qpos"][0][12:16] if has_free else None
+    q0_abs = d["qpos"][0][_FREE_OFF + 3:_FREE_OFF + 7] if has_free else None
     is_hammer = name == "hammer-v3"
     has_joint = bool(np.asarray(spec.scene.joint_exists).any())
 
@@ -60,9 +63,10 @@ def test_v2_reward_replay(name):
         sim = state.sim.replace(hand=tcp, gripper=jnp.clip(o[3], 0.0, 1.0),
                                 pad_l=lp, pad_r=rp)
         if qp is not None:
-            q_delta = maths.quat_mul(qp[12:16], maths.quat_conj(jnp.asarray(q0_abs)))
+            q_delta = maths.quat_mul(qp[_FREE_OFF + 3:_FREE_OFF + 7],
+                                     maths.quat_conj(jnp.asarray(q0_abs)))
             sim = sim.replace(
-                obj_pos=sim.obj_pos.at[0].set(qp[9:12]),
+                obj_pos=sim.obj_pos.at[0].set(qp[_FREE_OFF:_FREE_OFF + 3]),
                 obj_quat=sim.obj_quat.at[0].set(q_delta),
             )
         if is_hammer:
