@@ -166,14 +166,16 @@ def _scene_boxes(spec, state):
 
 
 def _scene_spheres(spec, state):
-    """Spheres [(center(3), r, rgb)]: objects, handles, target, wrist."""
+    """Spheres [(center(3), r, rgb)]: ball objects, handles, target, wrist."""
     scene = spec.scene
     spheres = []
     t = np.asarray(state.target)
     spheres.append((t, 0.015, (220, 40, 40)))
     obj = np.asarray(state.sim.obj_pos)
+    from metaworld_tpu.types import ObjType
+
     for i in range(obj.shape[0]):
-        if scene.obj_exists[i] > 0:
+        if scene.obj_exists[i] > 0 and int(scene.obj_type[i]) == ObjType.SPHERE:
             spheres.append((obj[i], float(scene.obj_radius[i]), (40, 90, 220)))
     from metaworld_tpu.physics import engine
 
@@ -190,6 +192,27 @@ def _scene_spheres(spec, state):
 
 _LIGHT = np.array([0.35, -0.5, 0.8])
 _LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
+
+
+def _scene_obbs(spec, state):
+    """Oriented boxes [(center, half(3), R(3,3), rgb)]: non-sphere objects
+    drawn with their live delta rotation (pucks, blocks, tools)."""
+    from metaworld_tpu.physics import maths as _m
+    from metaworld_tpu.types import ObjType
+    import jax.numpy as jnp
+
+    scene = spec.scene
+    obbs = []
+    obj = np.asarray(state.sim.obj_pos)
+    quat = np.asarray(state.sim.obj_quat)
+    for i in range(obj.shape[0]):
+        if scene.obj_exists[i] <= 0 or int(scene.obj_type[i]) == ObjType.SPHERE:
+            continue
+        r = float(scene.obj_radius[i])
+        h = float(scene.obj_half_h[i])
+        R = np.asarray(_m.quat_to_mat(jnp.asarray(quat[i])))
+        obbs.append((obj[i], np.array([r, r, h]), R, (40, 90, 220)))
+    return obbs
 
 
 def render_camera(spec, state, camera: str = "corner", width: int = W,
@@ -272,6 +295,23 @@ def render_camera(spec, state, camera: str = "corner", width: int = W,
         normal = -np.sign(d[np.arange(n_pix), axis])[:, None] * np.eye(3)[axis]
         consider(np.where(hit, np.maximum(t_near, 1e-4), np.inf), hit,
                  normal, color)
+
+    # oriented boxes (objects with live rotation): slab test in box frame
+    for c0, half, Rb, color in _scene_obbs(spec, state):
+        q0 = (C - c0) @ Rb            # ray origin in box frame
+        dq = d @ Rb                   # ray dirs in box frame
+        inv = 1.0 / np.where(np.abs(dq) > 1e-12, dq, 1e-12)
+        t0 = (-half[None, :] - q0[None, :]) * inv
+        t1 = (half[None, :] - q0[None, :]) * inv
+        tmin = np.minimum(t0, t1)
+        tmax = np.maximum(t0, t1)
+        t_near = tmin.max(axis=1)
+        t_far = tmax.min(axis=1)
+        hit = (t_near <= t_far) & (t_far > 0)
+        axis = np.argmax(tmin, axis=1)
+        n_local = -np.sign(dq[np.arange(n_pix), axis])[:, None] * np.eye(3)[axis]
+        consider(np.where(hit, np.maximum(t_near, 1e-4), np.inf), hit,
+                 n_local @ Rb.T, color)
 
     # spheres
     for c0, r, color in _scene_spheres(spec, state):
