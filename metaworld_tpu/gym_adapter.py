@@ -349,8 +349,18 @@ class GymVectorBatch(gym.vector.VectorEnv if _HAS_GYM else object):
         # split so repeated unseeded resets sample fresh goals (gymnasium
         # semantics: only an explicit seed pins the episode sequence)
         self._key, sub = jax.random.split(self._key)
-        self._state, obs = self.envs.reset(sub)
+        # pseudorandom task select resets onto the pinned goals (the
+        # reference's sample_tasks_on_reset=False semantics)
+        vstate = self._state if getattr(self._engine(), "task_select",
+                                        "random") == "pseudorandom" else None
+        self._state, obs = self.envs.reset(sub, vstate=vstate)             if vstate is not None else self.envs.reset(sub)
         return np.asarray(obs), {}
+
+    def _engine(self):
+        e = self.envs
+        while not hasattr(e, "task_select") and hasattr(e, "envs"):
+            e = e.envs
+        return e
 
     def step(self, actions):
         assert self._state is not None, "call reset() first"
@@ -378,8 +388,27 @@ class GymVectorBatch(gym.vector.VectorEnv if _HAS_GYM else object):
         return getattr(self.envs, name)
 
     def call(self, method, *args):
-        """Minimal `.call` support for the reference's evaluation protocol
-        (toggle_terminate_on_success, ref evaluation.py:54,96)."""
+        """`.call` support for the reference's evaluation protocols
+        (toggle_terminate_on_success ref evaluation.py:54,96; sample_tasks
+        + toggle_sample_tasks_on_reset ref evaluation.py:114-125)."""
+        if method == "sample_tasks":
+            engine = self._engine()
+            assert engine.task_select == "pseudorandom", (
+                "sample_tasks needs task_select='pseudorandom' envs "
+                "(ref PseudoRandomTaskSelectWrapper)")
+            assert self._state is not None, "call reset() first"
+            self._state = engine.sample_tasks(self._state)
+            return [None] * self.num_envs
+        if method == "toggle_sample_tasks_on_reset":
+            # pinned (pseudorandom) mode never resamples on reset; random
+            # mode always does — the flag is the mode itself, so this is
+            # a consistency assertion rather than a mutation
+            want = bool(args[0])
+            have = self._engine().task_select == "random"
+            assert want == have or not want, (
+                "toggle_sample_tasks_on_reset(True) requires "
+                "task_select='random' envs")
+            return [None] * self.num_envs
         if method == "toggle_terminate_on_success":
             engine = self.envs
             while not hasattr(engine, "terminate_on_success"):

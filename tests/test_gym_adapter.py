@@ -195,3 +195,27 @@ def test_render_all_tasks_topview():
         img = render_state(env.spec_, env._state)
         assert img.shape == (480, 480, 3), name
         assert (img != 235).any(), f"{name}: blank render"
+
+
+def test_facade_sample_tasks_protocol():
+    """GymVectorBatch speaks the reference meta-eval call surface:
+    toggle_sample_tasks_on_reset(False) + sample_tasks() pins goals per
+    round, resets (incl. autoreset) keep them (ref evaluation.py:114-125)."""
+    import metaworld_tpu as mw
+    import metaworld_tpu.gym_adapter as ga
+
+    envs = mw.make_ml_envs_test("reach-v3", seed=0, meta_batch_size=2,
+                                max_episode_steps=30)
+    batch = ga.GymVectorBatch(envs, seed=0)
+    batch.reset()
+    batch.call("toggle_sample_tasks_on_reset", False)
+    batch.call("sample_tasks")
+    batch.reset()
+    g1 = np.asarray(batch._state.env.rand_vec).copy()
+    for _ in range(35):
+        batch.step(np.zeros((batch.num_envs, 4)))
+    np.testing.assert_array_equal(
+        g1, np.asarray(batch._state.env.rand_vec))
+    batch.call("sample_tasks")
+    batch.reset()
+    assert not np.array_equal(g1, np.asarray(batch._state.env.rand_vec))
