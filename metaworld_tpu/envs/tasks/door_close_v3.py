@@ -3,8 +3,15 @@
 Ref metaworld/envs/sawyer_door_close_v3.py: door at rand (x in [0,0.1],
 y in [0.85,0.95], 0.15), starts open; target = door_rand + (0.2,-0.2,0);
 v2 reward (:120-152): gaussian in_place + hand_in_place; success
-|handle - target| <= 0.08. Handle arc fitted from reference trajectories:
-pivot door + (-0.11,-0.026,0.1), open arm (-0.132,-0.33,0).
+|handle - target| <= 0.08.
+
+Hinge geometry from the compiled reference model (doorlockB.xml: door_link
+at door + (-0.185, -0.1, 0), hinge axis z, range [-2, 0]; "handle" geom
+compiled local pos (0.3757, -0.1071, 0) after MuJoCo's mesh recentering).
+Our joint coordinate measures CLOSING from the open pose:
+q_close = q_mujoco + pi/2, so the reset (door open, q_mujoco = -1.5708,
+ref reset_model :95) sits at q_close = 0 and the arm below is the true
+arm rotated by R(z, -pi/2).
 """
 
 from __future__ import annotations
@@ -20,8 +27,8 @@ from metaworld_tpu.physics import engine
 from metaworld_tpu.rewards import utils as reward_utils
 from metaworld_tpu.types import JointType
 
-_PIVOT = (-0.2288, 0.0, 0.0)
-_ARM = (-0.0634, -0.4757, 0.0)
+_PIVOT = (-0.185, -0.1, 0.0)
+_ARM = (-0.10714, -0.375722, 0.0)  # R(z, -pi/2) @ (0.375722, -0.10714, 0)
 
 
 def _reset(spec: TaskSpec, rand, rng):
@@ -79,7 +86,7 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         joints=[FixtureJoint(
             kind=JointType.HINGE, axis=(0.0, 0.0, 1.0), anchor=_PIVOT, arm=_ARM,
-            range=(0.0, 1.6), damping=4.0, inertia=1.0, handle_radius=0.05,
+            range=(-0.4292, 1.5708), damping=4.0, inertia=1.0, handle_radius=0.05,
             panel=True,
         )],
         mocap_low=(-0.5, 0.40, 0.05),

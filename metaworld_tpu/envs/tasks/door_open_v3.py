@@ -1,8 +1,11 @@
 """door-open-v3: grab the door handle and pull the door open.
 
-Ref metaworld/envs/sawyer_door_v3.py: door at rand (x in [0,0.1]?, y in
-[0.85,0.9], 0.15); hinge at door + (-0.278, 0, 0); handle arm (0.419,
--0.208, 0); target = door + (-0.3, -0.45, 0); v2 reward (:104-175):
+Ref metaworld/envs/sawyer_door_v3.py: door at rand (x in [0,0.1], y in
+[0.85,0.9], 0.15); hinge geometry from the compiled reference model
+(doorlockB.xml: door_link at door + (-0.185, -0.1, 0), hinge axis z,
+range [-2, 0]; "handle" geom compiled local pos (0.3757, -0.1071, 0)
+after MuJoCo's mesh recentering); target = door + (-0.3, -0.45, 0);
+v2 reward (:104-175):
 funnel-floor caging + staged opening on the hinge angle; success
 |handle_x - target_x| <= 0.08.
 """
@@ -20,8 +23,8 @@ from metaworld_tpu.physics import engine
 from metaworld_tpu.rewards import utils as reward_utils
 from metaworld_tpu.types import JointType
 
-_PIVOT = (-0.2288, 0.0, 0.0)
-_ARM = (0.4194, -0.2075, 0.0)
+_PIVOT = (-0.185, -0.1, 0.0)
+_ARM = (0.375722, -0.10714, 0.0)
 
 
 def _reset(spec: TaskSpec, rand, rng):
@@ -93,7 +96,7 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         joints=[FixtureJoint(
             kind=JointType.HINGE, axis=(0.0, 0.0, 1.0), anchor=_PIVOT, arm=_ARM,
-            range=(-1.8, 0.0), damping=4.0, inertia=1.0,
+            range=(-2.0, 0.0), damping=4.0, inertia=1.0,
             handle_radius=0.035, hookable=True, panel=True,
         )],
         mocap_low=(-0.5, 0.40, 0.05),

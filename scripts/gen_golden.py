@@ -102,7 +102,11 @@ def run_env(name, task_idx=0, seed=SEED):
     static["obs0"] = obs.copy()
 
     for _ in range(MAX_STEPS):
-        a = policy.get_action(obs).astype(np.float64)
+        # pass a COPY: three reference policies (door-open/door-close/
+        # button-press) mutate the obs array in place via numpy views
+        # (e.g. `pos_door += ...`, ref sawyer_door_close_v3_policy.py:40),
+        # which would corrupt the recorded observation trace
+        a = policy.get_action(obs.copy()).astype(np.float64)
         rec["obs"].append(obs.copy())
         rec["action"].append(a.copy())
         rec["tcp"].append(np.asarray(env.tcp_center, dtype=np.float64).copy())

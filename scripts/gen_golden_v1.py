@@ -94,7 +94,8 @@ def run_env(name, task_idx=0, seed=SEED):
         static["peg_body_pos"] = pegpos
 
     for _ in range(MAX_STEPS):
-        a = policy.get_action(obs).astype(np.float64)
+        # COPY: some reference policies mutate obs in place (see gen_golden.py)
+        a = policy.get_action(obs.copy()).astype(np.float64)
         rec["obs"].append(obs.copy())
         rec["action"].append(a.copy())
         rec["tcp"].append(np.asarray(env.tcp_center, dtype=np.float64).copy())

@@ -15,28 +15,19 @@ def _implemented():
     return registry.implemented_envs()
 
 
-# The reference door policies mutate the observation array IN PLACE through
-# slice views (sawyer_door_open_v3_policy.py `pos_door[0] -= 0.05`,
-# door_close `pos_door += (0.05, 0.12, 0.1)`), so the recorded golden obs are
-# post-mutation; undo before replaying our (pure) policies.
-_OBS_UNMUTATE = {
-    "door-open-v3": lambda o: o + np.eye(1, 39, 4)[0] * 0.05,
-    "door-close-v3": lambda o: o - (np.eye(1, 39, 4)[0] * 0.05
-                                    + np.eye(1, 39, 5)[0] * 0.12
-                                    + np.eye(1, 39, 6)[0] * 0.1),
-}
-
-
 @pytest.mark.parametrize("name", implemented_policies())
 def test_policy_parity(name, golden):
     """Our branchless policy must reproduce the reference policy's actions on
     the reference's own observations. Near decision boundaries f32 vs f64 can
-    flip a branch, so we demand 98% of steps agree tightly."""
+    flip a branch, so we demand 98% of steps agree tightly.
+
+    (The golden generator passes the reference policies a COPY of the obs —
+    the two door policies mutate the obs array in place through numpy views,
+    ref sawyer_door_close_v3_policy.py:40 — so the recorded obs are pristine.)
+    """
     d = golden(name)
     pol = jax.jit(jax.vmap(get_policy(name)))
     obs_in = d["obs"]
-    if name in _OBS_UNMUTATE:
-        obs_in = _OBS_UNMUTATE[name](obs_in)
     ours = np.asarray(pol(jnp.asarray(obs_in)))
     ref = d["action"]
     err = np.abs(ours - ref).max(axis=1)

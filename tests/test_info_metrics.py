@@ -27,13 +27,6 @@ from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import env_reset
 from metaworld_tpu.physics import engine, maths
 
-_UNMUT = {
-    "door-open-v3": lambda o: o + np.eye(1, 39, 4)[0] * 0.05,
-    "door-close-v3": lambda o: o - (np.eye(1, 39, 4)[0] * 0.05
-                                    + np.eye(1, 39, 5)[0] * 0.12
-                                    + np.eye(1, 39, 6)[0] * 0.1),
-}
-
 # per-task budgets: (success_frac, near_frac, o2t_frac, in_place_frac)
 _DEFAULT = (0.02, 0.03, 0.03, 0.06)
 _BOUNDS = {
@@ -60,8 +53,6 @@ def test_info_metric_replay(name):
     rand[: rv.shape[0]] = rv
     state, _ = env_reset(spec, jnp.asarray(rand), jax.random.PRNGKey(0), 1.0)
     OBS = d["obs"].copy()
-    if name in _UNMUT:
-        OBS = _UNMUT[name](OBS)
 
     # free-joint offset: 9 for most scenes, 0 for the coffee scenes whose
     # mug joint is declared first (see test_v2_reward_replay)

@@ -36,13 +36,6 @@ _DEFAULT_BOUNDS = (0.01, 5e-3)
 
 # the reference door policies mutate the recorded obs in place (see
 # tests/test_golden_parity.py); undo before replaying
-_UNMUTATE = {
-    "door-open-v3": lambda o: o + np.eye(1, 39, 4)[0] * 0.05,
-    "door-close-v3": lambda o: o - (np.eye(1, 39, 4)[0] * 0.05
-                                    + np.eye(1, 39, 5)[0] * 0.12
-                                    + np.eye(1, 39, 6)[0] * 0.1),
-}
-
 
 def _load(name):
     try:
@@ -61,8 +54,6 @@ def test_v1_reward_parity(name):
     state, _ = env_reset(spec, jnp.asarray(rand), jax.random.PRNGKey(0), 1.0)
 
     obs = d["obs"].copy()
-    if name in _UNMUTATE:
-        obs = _UNMUTATE[name](obs)
     if name == "hammer-v3":
         # our obs[11:14] IS the nailHead site; the reference's is the
         # nail_link body com — substitute the recorded site

@@ -23,17 +23,8 @@ from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import env_reset
 from metaworld_tpu.physics import engine, maths
 
-_UNMUT = {
-    "door-open-v3": lambda o: o + np.eye(1, 39, 4)[0] * 0.05,
-    "door-close-v3": lambda o: o - (np.eye(1, 39, 4)[0] * 0.05
-                                    + np.eye(1, 39, 5)[0] * 0.12
-                                    + np.eye(1, 39, 6)[0] * 0.1),
-}
-
-# max fraction of mismatched steps (default 0.02, the round-2 target)
-_BOUNDS = {
-    "door-open-v3": 0.05,   # door angle re-derived from the obs handle
-}
+# max fraction of mismatched steps
+_BOUNDS = {}
 
 
 @pytest.mark.parametrize("name", registry.ALL_V3_ENVIRONMENTS)
@@ -45,8 +36,6 @@ def test_v2_reward_replay(name):
     rand[: rv.shape[0]] = rv
     state, _ = env_reset(spec, jnp.asarray(rand), jax.random.PRNGKey(0), 1.0)
     OBS = d["obs"].copy()
-    if name in _UNMUT:
-        OBS = _UNMUT[name](OBS)
 
     # free-joint main object: qpos carries the body pos + quat (wxyz) at
     # the model's joint offset — 9 (after the 7 arm + 2 finger dofs) for
