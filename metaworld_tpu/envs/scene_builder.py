@@ -37,6 +37,8 @@ class FreeObj:
     tool_off: tuple = (0.0, 0.0, 0.0)  # tool point rel. COM (hammer head, stick tip)
     grasp_off: tuple = (0.0, 0.0, 0.0)  # grasp point rel. COM (handles, knobs)
     droop: float = 0.0  # equilibrium in-grip pitch about the pad axis (rad)
+    planar: bool = False  # 2-dof slide body in the reference: no lift, no gravity
+    lin_damping: float = 0.0  # planar slide joint damping (N·s/m)
 
 
 @dataclasses.dataclass
@@ -52,8 +54,14 @@ class FixtureJoint:
     stiffness: float = 0.0
     springref: float = 0.0
     inertia: float = 0.1
-    bias: float = 0.0                  # constant generalized force (gravity)
+    bias: float = 0.0                  # constant generalized force (actuator bias)
+    mass: float = 0.0                  # subtree mass (kg) — gravity force source
+    com: tuple = (0.0, 0.0, 0.0)       # subtree COM rel. anchor at q=0
     handle_radius: float = 0.02
+    face_radius: float = 0.0           # lateral press-face radius (0 -> handle_radius)
+    press_off: tuple = (0.0, 0.0, 0.0)  # press-face center offset from the handle point
+    face_dir: tuple = (0.0, 0.0, 0.0)  # bar axis: zero = disc face; set = capsule
+                                       # (radius handle_radius, half-len face_radius)
     hookable: bool = False             # gripper can close on handle and pull
     panel: bool = False                # hinge carries a panel (press along the arm span)
 
@@ -104,6 +112,8 @@ def build_scene(
         obj_tool_off=pad([x.tool_off for x in o], MAX_OBJ, 3).astype(f),
         obj_droop=pad([x.droop for x in o], MAX_OBJ).astype(f),
         obj_grasp_off=pad([x.grasp_off for x in o], MAX_OBJ, 3).astype(f),
+        obj_planar=pad([float(x.planar) for x in o], MAX_OBJ).astype(f),
+        obj_lin_damping=pad([x.lin_damping for x in o], MAX_OBJ).astype(f),
         link_enable=np.asarray(float(link_enable), dtype=f),
         link_handle_off=np.asarray(link_handle_off, dtype=f),
         joint_exists=pad([1.0] * len(j), MAX_JOINT).astype(f),
@@ -117,7 +127,14 @@ def build_scene(
         joint_springref=pad([x.springref for x in j], MAX_JOINT).astype(f),
         joint_inertia=pad([max(x.inertia, 1e-4) for x in j], MAX_JOINT).astype(f),
         joint_bias=pad([x.bias for x in j], MAX_JOINT).astype(f),
+        joint_mass=pad([x.mass for x in j], MAX_JOINT).astype(f),
+        joint_com=pad([x.com for x in j], MAX_JOINT, 3).astype(f),
         joint_handle_radius=pad([x.handle_radius for x in j], MAX_JOINT).astype(f),
+        joint_face_radius=pad(
+            [x.face_radius or x.handle_radius for x in j], MAX_JOINT
+        ).astype(f),
+        joint_press_off=pad([x.press_off for x in j], MAX_JOINT, 3).astype(f),
+        joint_face_dir=pad([x.face_dir for x in j], MAX_JOINT, 3).astype(f),
         joint_hookable=pad([float(x.hookable) for x in j], MAX_JOINT).astype(f),
         joint_panel=pad([float(x.panel) for x in j], MAX_JOINT).astype(f),
         static_exists=pad([1.0] * len(b), MAX_STATIC).astype(f),

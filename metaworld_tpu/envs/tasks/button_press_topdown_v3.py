@@ -72,15 +72,21 @@ def _reward(spec: TaskSpec, state, obs, action):
     )
 
 
-def make_topdown_scene():
+def make_topdown_scene(wall: bool = False):
+    boxes = [StaticBox(pos=(0.0, 0.0, 0.04625), size=(0.12, 0.05, 0.04625),
+                       rel_fixture=True, blocks_hand=False)]
+    if wall:
+        # compiled truth (sawyer_button_press_topdown_wall.xml): wall body
+        # at world (0.1, 0.7, 0), box half (0.1, 0.01, 0.075)
+        boxes.append(StaticBox(pos=(0.1, 0.7, 0.075), size=(0.1, 0.01, 0.075)))
     return build_scene(
         joints=[FixtureJoint(
             kind=JointType.SLIDE, axis=(0.0, 0.0, -1.0), anchor=_BTN_OFF,
-            range=(0.0, 0.09), damping=8.0, stiffness=0.5, springref=0.0,
-            inertia=0.2, handle_radius=0.025,
+            range=(0.0, 0.086), damping=1.0, stiffness=0.5, springref=-0.5,
+            inertia=0.011, mass=0.01, com=(0.0, 0.0, 0.1935),
+            handle_radius=0.0, face_radius=0.0425, press_off=(0.0, 0.0, -0.022),
         )],
-        boxes=[StaticBox(pos=(0.0, 0.0, 0.04625), size=(0.12, 0.05, 0.04625),
-                         rel_fixture=True)],
+        boxes=boxes,
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )

@@ -54,7 +54,7 @@ def make_spec(task_id: int) -> TaskSpec:
     return TaskSpec(
         name="button-press-topdown-wall-v3",
         task_id=task_id,
-        scene=make_topdown_scene(),
+        scene=make_topdown_scene(wall=True),
         rand_low=np.asarray(_OBJ_LOW),
         rand_high=np.asarray(_OBJ_HIGH),
         hand_init_pos=np.array([0.0, 0.4, 0.2]),

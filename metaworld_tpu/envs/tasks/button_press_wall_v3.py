@@ -68,12 +68,15 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         joints=[FixtureJoint(
             kind=JointType.SLIDE, axis=(0.0, 1.0, 0.0), anchor=_BTN_OFF,
-            range=(0.0, 0.09), damping=8.0, stiffness=0.5, springref=0.0,
-            inertia=0.2, handle_radius=0.025,
+            range=(0.0, 0.086), damping=1.0, stiffness=0.5, springref=-0.5,
+            inertia=0.011, mass=0.01, com=(0.0, -0.1935, 0.0),
+            handle_radius=0.0, face_radius=0.0425,
         )],
         boxes=[
-            StaticBox(pos=(0.0, 0.012, 0.0), size=(0.12, 0.102, 0.115), rel_fixture=True),
-            StaticBox(pos=(0.1, 0.7, 0.05), size=(0.12, 0.01, 0.05)),
+            StaticBox(pos=(0.0, 0.012, 0.0), size=(0.12, 0.102, 0.115), rel_fixture=True, blocks_hand=False),
+            # compiled truth: wall body at y=0.6 (NOT the 0.75 of the
+            # reach/push walls), box half (0.1, 0.01, 0.075)
+            StaticBox(pos=(0.1, 0.6, 0.075), size=(0.1, 0.01, 0.075)),
         ],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

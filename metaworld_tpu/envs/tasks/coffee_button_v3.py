@@ -78,8 +78,9 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         joints=[FixtureJoint(
             kind=JointType.SLIDE, axis=(0.0, 1.0, 0.0), anchor=_BTN_OFF,
-            range=(0.0, 0.065), damping=8.0, stiffness=0.5, springref=0.0,
-            inertia=0.2, handle_radius=0.025,
+            range=(0.0, 0.063), damping=1.0, stiffness=0.0, springref=0.0,
+            inertia=0.101, mass=0.1, com=(0.0, -0.19, 0.3),
+            handle_radius=0.029, face_radius=0.032,
         )],
         # coffee machine body behind the button
         boxes=[StaticBox(pos=(0.0, -0.1, 0.15), size=(0.08, 0.1, 0.15),

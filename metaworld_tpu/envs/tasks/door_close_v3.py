@@ -86,7 +86,11 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         joints=[FixtureJoint(
             kind=JointType.HINGE, axis=(0.0, 0.0, 1.0), anchor=_PIVOT, arm=_ARM,
-            range=(-0.4292, 1.5708), damping=4.0, inertia=1.0, handle_radius=0.05,
+            # compiled truth (sawyer_door_pull.xml doorjoint): M=0.151,
+            # damping=2.0, subtree mass 2.23 (z-hinge: no gravity torque);
+            # capsule handle bar as in door-open (phantom-press fix)
+            range=(-0.4292, 1.5708), damping=2.0, inertia=0.151, mass=2.23,
+            handle_radius=0.023, face_radius=0.097, face_dir=(0.0, 0.0, 1.0),
             panel=True,
         )],
         mocap_low=(-0.5, 0.40, 0.05),

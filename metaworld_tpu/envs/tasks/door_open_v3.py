@@ -96,8 +96,16 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         joints=[FixtureJoint(
             kind=JointType.HINGE, axis=(0.0, 0.0, 1.0), anchor=_PIVOT, arm=_ARM,
-            range=(-2.0, 0.0), damping=4.0, inertia=1.0,
-            handle_radius=0.035, hookable=True, panel=True,
+            # compiled truth (sawyer_door_pull.xml doorjoint): M=0.151,
+            # damping=2.0, subtree mass 2.23 (z-hinge: no gravity torque).
+            # The handle is a VERTICAL bar (handle mesh bbox half-z 0.097,
+            # r ~= 0.023) — a capsule press face, so an approaching claw
+            # only shoves the door by its true geometric overlap (a wide
+            # disc face made every near miss a full-depth phantom press
+            # that slammed the door to its stop)
+            range=(-2.0, 0.0), damping=2.0, inertia=0.151, mass=2.23,
+            handle_radius=0.023, face_radius=0.097, face_dir=(0.0, 0.0, 1.0),
+            hookable=True, panel=True,
         )],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

@@ -76,8 +76,15 @@ def _reward(spec: TaskSpec, state, obs, action):
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         joints=[FixtureJoint(
+            # compiled truth (sawyer_drawer.xml goal_slidey): M=0.381,
+            # damping=2.0, throw 0.16, subtree mass 0.38 (y-slide: no
+            # gravity). The handle is a BAR along x (geom50 capsule
+            # r=0.009, half-length 0.05) 0.01 behind the reported point —
+            # the open claw descends around it to hook
             kind=JointType.SLIDE, axis=(0.0, -1.0, 0.0), anchor=_HANDLE_OFF,
-            range=(0.0, 0.21), damping=10.0, inertia=0.5, handle_radius=0.028,
+            range=(0.0, 0.16), damping=2.0, inertia=0.381, mass=0.38,
+            handle_radius=0.009, face_radius=0.05, face_dir=(1.0, 0.0, 0.0),
+            press_off=(0.0, 0.01, 0.0),
         )],
         boxes=[StaticBox(pos=(0.0, 0.01, 0.084), size=(0.12, 0.13, 0.084),
                          rel_fixture=True)],

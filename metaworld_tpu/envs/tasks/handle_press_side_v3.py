@@ -24,7 +24,8 @@ def make_spec(task_id: int) -> TaskSpec:
     return TaskSpec(
         name="handle-press-side-v3",
         task_id=task_id,
-        scene=make_handle_scene((0.216, 0.0, 0.171), press=True),
+        scene=make_handle_scene((0.216, 0.0, 0.171), press=True, hi=0.17,
+                               side=True),
         rand_low=np.array([-0.35, 0.65, -0.001]),
         rand_high=np.array([-0.25, 0.75, 0.001]),
         hand_init_pos=np.array([0.0, 0.6, 0.2]),

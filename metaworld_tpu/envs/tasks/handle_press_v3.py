@@ -22,17 +22,46 @@ from metaworld_tpu.types import JointType
 _R = 0.02
 
 
-def make_handle_scene(handle_off, press: bool):
-    lo, hi = ((0.0, 0.16) if press else (-0.105, 0.03))
+def handle_boxes(side: bool):
+    """The hdlprs body's collision shells (compiled sawyer_handle_press.xml):
+    two tall side plates, a center wedge, and a small base pad near the
+    table. The volume in FRONT of the machine (under the protruding bar) is
+    OPEN — the reference hand descends beside the bar to the table. The
+    sideways variant is the same body yawed +90 deg."""
+    raw = [((0.0605, 0.0062, 0.1036), (0.0259, 0.1467, 0.1555)),
+           ((-0.0605, 0.0062, 0.1036), (0.0259, 0.1467, 0.1555)),
+           ((0.0, 0.0286, 0.1084), (0.0348, 0.0881, 0.1156)),
+           ((0.0, -0.082, 0.014), (0.035, 0.028, 0.014))]
+    out = []
+    for pos, size in raw:
+        if side:
+            pos = (-pos[1], pos[0], pos[2])
+            size = (size[1], size[0], size[2])
+        out.append(StaticBox(pos=pos, size=size, rel_fixture=True))
+    return out
+
+
+def make_handle_scene(handle_off, press: bool, hi=0.16, side=False):
+    # compiled truth (sawyer_handle_press.xml jnt9): M=0.003, damping=30,
+    # subtree mass 0.002 (gravity sag 0.65 mm/s terminal — effectively
+    # static, matching the released handle's slow droop in the golden
+    # traces); range throw 0.1 with soft-limit overpress to ~0.16 observed.
+    # The handle is a capsule BAR (geom45 cylinder r=0.022 hl=0.07, along x
+    # for the front machine / y for the sideways one); the reported handle
+    # point (handleStart site) sits ON TOP of the bar, bar center 0.022
+    # below it. Modeling the bar (not a disc) matters: a disc face traps
+    # the claw underneath during lateral approaches.
+    lo, hi = ((0.0, hi) if press else (-0.105, hi))
     return build_scene(
         joints=[FixtureJoint(
             kind=JointType.SLIDE, axis=(0.0, 0.0, -1.0) if press else (0.0, 0.0, 1.0),
-            anchor=handle_off, range=(lo, hi), damping=10.0, inertia=0.4,
-            handle_radius=0.035, hookable=not press,
-            bias=0.0 if press else -2.0,
+            anchor=handle_off, range=(lo, hi), damping=30.0, inertia=0.003,
+            mass=0.002, handle_radius=0.022, face_radius=0.07,
+            face_dir=(0.0, 1.0, 0.0) if side else (1.0, 0.0, 0.0),
+            press_off=(0.0, 0.0, -0.022),
+            hookable=not press,
         )],
-        boxes=[StaticBox(pos=(0.0, 0.0, 0.06), size=(0.09, 0.09, 0.06),
-                         rel_fixture=True)],
+        boxes=handle_boxes(side),
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )

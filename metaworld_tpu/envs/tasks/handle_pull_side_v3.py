@@ -71,7 +71,7 @@ def make_spec(task_id: int) -> TaskSpec:
     return TaskSpec(
         name="handle-pull-side-v3",
         task_id=task_id,
-        scene=make_pull_scene((0.17, 0.0, 0.15)),
+        scene=make_pull_scene((0.17, 0.0, 0.15), hi=0.07, side=True),
         rand_low=np.array([-0.35, 0.65, 0.0]),
         rand_high=np.array([-0.25, 0.75, 0.0]),
         hand_init_pos=np.array([0.0, 0.6, 0.2]),

@@ -16,22 +16,27 @@ from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec, gripper_caging_reward
 from metaworld_tpu.envs.scene_builder import FixtureJoint, StaticBox, build_scene
 from metaworld_tpu.envs.tasks import common
-from metaworld_tpu.envs.tasks.handle_press_v3 import handle_obs
+from metaworld_tpu.envs.tasks.handle_press_v3 import handle_boxes, handle_obs
 from metaworld_tpu.rewards import utils as reward_utils
 from metaworld_tpu.types import JointType
 
 _R = 0.05
 
 
-def make_pull_scene(handle_off):
+def make_pull_scene(handle_off, hi=0.02, side=False):
+    # compiled truth (sawyer_handle_press.xml jnt9): M=0.003, damping=30,
+    # mass 0.002; pull overpress past the 0.0 stop observed to +0.019
+    # (handle-pull) / +0.069 (handle-pull-side) in the golden traces
     return build_scene(
         joints=[FixtureJoint(
             kind=JointType.SLIDE, axis=(0.0, 0.0, 1.0), anchor=handle_off,
-            range=(-0.105, 0.03), damping=10.0, inertia=0.4,
-            handle_radius=0.035, hookable=True, bias=-2.0,
+            range=(-0.105, hi), damping=30.0, inertia=0.003, mass=0.002,
+            handle_radius=0.022, face_radius=0.07,
+            face_dir=(0.0, 1.0, 0.0) if side else (1.0, 0.0, 0.0),
+            press_off=(-0.05, 0.0, -0.014) if not side else (0.046, 0.0, 0.0),
+            hookable=True,
         )],
-        boxes=[StaticBox(pos=(0.0, 0.0, 0.06), size=(0.09, 0.09, 0.06),
-                         rel_fixture=True)],
+        boxes=handle_boxes(side),
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )

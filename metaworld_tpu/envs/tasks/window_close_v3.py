@@ -76,7 +76,7 @@ def make_spec(task_id: int) -> TaskSpec:
     return TaskSpec(
         name="window-close-v3",
         task_id=task_id,
-        scene=make_window_scene(_HANDLE_OFF),
+        scene=make_window_scene(_HANDLE_OFF, press_off_x=-0.024),
         rand_low=np.array([0.0, 0.75, 0.2]),
         rand_high=np.array([0.0, 0.9, 0.2]),
         hand_init_pos=np.array([0.0, 0.4, 0.2]),

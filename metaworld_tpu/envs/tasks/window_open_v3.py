@@ -72,11 +72,18 @@ def _reward(spec: TaskSpec, state, obs, action):
     )
 
 
-def make_window_scene(handle_off):
+def make_window_scene(handle_off, press_off_x):
+    # compiled truth (sawyer_window_horizontal.xml window_slide): M=0.639,
+    # damping=2.0, range (0, 0.2); the graspable handle is a VERTICAL
+    # capsule bar (geom47: r=0.008, half-length 0.045 along z) centered at
+    # x=-0.014 rel the joint anchor — press_off_x maps the reported site
+    # (handleOpenStart -0.04 / handleCloseStart +0.01) onto the bar center
     return build_scene(
         joints=[FixtureJoint(
             kind=JointType.SLIDE, axis=(1.0, 0.0, 0.0), anchor=handle_off,
-            range=(0.0, 0.205), damping=12.0, inertia=0.5, handle_radius=0.026,
+            range=(0.0, 0.2), damping=2.0, inertia=0.639, mass=0.638,
+            handle_radius=0.008, face_radius=0.045, face_dir=(0.0, 0.0, 1.0),
+            press_off=(press_off_x, 0.0, 0.0),
         )],
         boxes=[StaticBox(pos=(0.0, 0.03, 0.0), size=(0.25, 0.02, 0.18),
                          rel_fixture=True)],
@@ -90,7 +97,7 @@ def make_spec(task_id: int) -> TaskSpec:
     return TaskSpec(
         name="window-open-v3",
         task_id=task_id,
-        scene=make_window_scene(_HANDLE_OFF),
+        scene=make_window_scene(_HANDLE_OFF, press_off_x=0.026),
         rand_low=np.array([-0.1, 0.7, 0.16]),
         rand_high=np.array([0.1, 0.9, 0.16]),
         hand_init_pos=np.array([0.0, 0.4, 0.2]),

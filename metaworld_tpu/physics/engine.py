@@ -74,6 +74,7 @@ _GRASP_XZ_TOL = 0.035    # max horizontal tcp-to-object distance for a grasp
 _GRASP_Z_SPAN = 0.09     # pads (vertical plates) span tcp .. tcp+0.09 in z
 _HOOK_RADIUS = 0.045     # tcp-to-handle distance to hook a hookable fixture
 _GRAVITY = 9.81
+_MU_HAND = 1.0           # finger-vs-fixture Coulomb coefficient (hand pinning)
 
 
 def _norm(x, axis=None):
@@ -293,7 +294,32 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 h = h + corr_p
             return h
 
+        raw_hand = new_hand
         new_hand = hand_clear(new_hand)
+        # Coulomb friction pins the pressed hand tangentially: when the
+        # mocap target is buried in a blocks_hand box, the reference's weld
+        # presses the fingers on the face with a force proportional to the
+        # target penetration, and contact friction then holds the fingers
+        # against lateral weld pull (golden button traces: the hand x stays
+        # put while the recorded mocap drifts 5+ cm sideways). Both the
+        # normal demand and the tangential demand scale with alpha, so the
+        # cone test compares the per-substep blocked normal motion |corr|
+        # against the attempted tangential motion.
+        corr_h = new_hand - raw_hand
+        cn_h = _norm(corr_h)
+        n_h_dir = corr_h / jnp.maximum(cn_h, 1e-9)
+        dv_h = new_hand - sim.hand
+        dv_n_h = jnp.dot(dv_h, n_h_dir) * n_h_dir
+        dv_t_h = dv_h - dv_n_h
+        t_mag = _norm(dv_t_h)
+        # stick/slip: friction absorbs tangential demand up to mu * the
+        # blocked normal demand; only the excess slips (both demands scale
+        # with the same weld gain, so the ratio test is gain-free)
+        t_allow = jnp.maximum(t_mag - _MU_HAND * cn_h, 0.0)
+        scale_t = jnp.where(
+            cn_h > 1e-9, t_allow / jnp.maximum(t_mag, 1e-9), 1.0
+        )
+        new_hand = sim.hand + dv_n_h + dv_t_h * scale_t
         hand_vel = (new_hand - sim.hand) / dt
 
         # --- grasped-object gap clamp ---
@@ -341,9 +367,20 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # --- free-object dynamics ---
         # anchored objects are pinned (socketed) until their first grasp
         pinned_anchor = (scene.obj_anchored > 0) & (unanchored == 0)
+        # planar bodies (plate-slide puck, stick thermos) are 2-dof
+        # slide-jointed in the reference model — they cannot leave their
+        # plane and feel viscous joint damping instead of gravity/Coulomb
+        # friction (ref sawyer_plate_slide.xml goal_slidex/goal_slidey,
+        # sawyer_stick_obj.xml obj_slidex/obj_slidey)
+        planar = scene.obj_planar > 0
         pos = sim.obj_pos
         vel = sim.obj_vel
-        vel = vel + jnp.array([0.0, 0.0, -_GRAVITY]) * dt
+        vel = vel + jnp.array([0.0, 0.0, -_GRAVITY]) * dt * (~planar[:, None])
+        vel = vel * (1.0 - planar[:, None] * jnp.array([0.0, 0.0, 1.0]))
+        visc = jnp.exp(
+            -scene.obj_lin_damping * dt / jnp.maximum(scene.obj_mass, 1e-6)
+        )
+        vel = jnp.where(planar[:, None], vel * visc[:, None], vel)
         vel = jnp.where(pinned_anchor[:, None], 0.0, vel)
         pos = pos + vel * dt
 
@@ -478,10 +515,18 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             v = v * (_EXY * xy_scale) + _EZ * vz_new
             return p, v
 
-        frics = jnp.full((pos.shape[0],), _FRICTION_DEFAULT)
+        frics = _FRICTION_DEFAULT * (1.0 - scene.obj_planar)
         pos_g, vel_g = jax.vmap(ground_one)(pos, vel, scene.obj_half_h, frics)
         pos = jnp.where(free[:, None], pos_g, pos)
         vel = jnp.where(free[:, None], vel_g, vel)
+
+        # planar bodies are pinned AT their plane height (contacts above
+        # cannot lift them, the slide joints have no vertical dof)
+        sz_pl = jax.vmap(lambda p: _support_z(scene, p[:2]))(pos)
+        z_pin = sz_pl + scene.obj_half_h
+        pin_row = (planar & free)[:, None]
+        pos = jnp.where(pin_row, pos * _EXY + _EZ * z_pin[:, None], pos)
+        vel = jnp.where(pin_row, vel * _EXY, vel)
 
         # attached objects ride the hand — but never through the table (a
         # dragged puck stays supported; only lifting raises it)
@@ -587,14 +632,49 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         )[None, :]
 
         # --- fixture mechanisms ---
-        handle = fixture_handle_pos(scene, sim.fixture_pos, sim.joint_q)  # (MAX_JOINT,3)
-        motion = fixture_motion_dir(scene, sim.fixture_pos, sim.joint_q)  # (MAX_JOINT,3)
-        # panel hinges (doors): press contacts act anywhere along the
-        # pivot->handle span, sampled at a few stations
-        pivot_w = sim.fixture_pos[None, :] + scene.joint_anchor
-        panel_pts = [
-            pivot_w + frac * (handle - pivot_w) for frac in (0.45, 0.65, 0.85)
-        ]
+        # Free dynamics use the COMPILED reference model's constants
+        # (scripts/compiled_truth.py): generalized inertia M[dof,dof],
+        # joint damping, spring, and gravity from the subtree mass/COM.
+        # The damped ODE is integrated EXACTLY over the substep
+        # (exponential integrator) because the true fixtures are stiff:
+        # e.g. handle-press has M=0.003, damping=30 (tau = 0.1 ms << dt),
+        # where explicit Euler would oscillate unboundedly.
+        q, qv = sim.joint_q, sim.joint_v
+        # generalized gravity force Q_g = (d com / d q) . (0, 0, -m g):
+        # slide: dcom/dq = axis; hinge: axis x r_com(q)
+        q_rot = jax.vmap(maths.axis_angle_quat)(scene.joint_axis, q)
+        com_arm = jax.vmap(maths.quat_rotate)(q_rot, scene.joint_com)
+        is_hinge_j = scene.joint_type == JointType.HINGE
+        dcom_dq = jnp.where(
+            is_hinge_j[:, None],
+            jnp.cross(scene.joint_axis, com_arm),
+            scene.joint_axis,
+        )
+        grav_q = -scene.joint_mass * _GRAVITY * dcom_dq[:, 2]
+        f_ext = (
+            grav_q
+            + scene.joint_bias
+            - scene.joint_stiffness * (q - scene.joint_springref)
+        )
+        M_j = jnp.maximum(scene.joint_inertia, 1e-6)
+        c_j = scene.joint_damping
+        decay = jnp.exp(-c_j * dt / M_j)
+        # exact solution of M qv' = f_ext - c qv with f_ext frozen over dt
+        qv = jnp.where(
+            c_j > 1e-9,
+            qv * decay + (f_ext / jnp.maximum(c_j, 1e-9)) * (1.0 - decay),
+            qv + (f_ext / M_j) * dt,
+        )
+        q_free = q + qv * dt
+
+        handle = fixture_handle_pos(scene, sim.fixture_pos, q_free)  # (MAX_JOINT,3)
+        motion = fixture_motion_dir(scene, sim.fixture_pos, q_free)  # (MAX_JOINT,3)
+        # hinge lever radius: handle displacement per unit q (slides: 1)
+        arm_perp = scene.joint_arm - jnp.sum(
+            scene.joint_arm * scene.joint_axis, axis=1, keepdims=True
+        ) * scene.joint_axis
+        lever = jnp.where(is_hinge_j, _norm(arm_perp, axis=1), 1.0)
+        lever = jnp.maximum(lever, 1e-6)
 
         # hook: gripper closes near a hookable handle -> joint follows hand
         tcp_mid = new_hand + jnp.array([0.0, 0.0, PAD_Z_OFFSET * 0.6])
@@ -609,75 +689,259 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         unhook = (effort <= 0.0) | (d_handle > 0.12)
         hooked = jnp.where(unhook, 0.0, hooked) * scene.joint_exists
 
-        # press: gripper parts push the handle. Parts model the real claw
-        # assembly (ref xyz_base.xml:151-188): fingertip point at the tcp,
-        # the two pad plates, and the knuckle block above them.
-        press_force = jnp.zeros(sim.joint_q.shape)
-        pad_half_press = jnp.array([0.015, 0.0045, 0.045])
+        # press: gripper parts push the handle KINEMATICALLY — the contact
+        # is resolved by projecting the joint out of penetration (the mocap
+        # weld is far stiffer than any fixture, so in MuJoCo the fixture
+        # always yields to the hand; a penalty force would need per-task
+        # stiffness tuning, projection is exact). Parts model the real claw
+        # assembly (ref xyz_base.xml:151-188): fingertip at the tcp, the two
+        # pad plates, and the knuckle block above them.
         knuckle = new_hand + jnp.array([0.0, 0.0, 0.105])
+        press_dq = []  # per part: (MAX_JOINT,) signed projection
+        # press-face center = handle point + press_off rotated with the joint
+        q_rot_free = jax.vmap(maths.axis_angle_quat)(scene.joint_axis, q_free)
+        press_pt_off = jax.vmap(maths.quat_rotate)(q_rot_free, scene.joint_press_off)
 
-        def sphere_part(center, r_part):
-            delta_h = handle - center[None, :]
-            dist_h = _norm(delta_h, axis=1)
-            pen_h = jnp.maximum(scene.joint_handle_radius + r_part - dist_h, 0.0)
-            n_h = delta_h / jnp.maximum(dist_h, 1e-9)[:, None]
-            return jnp.sum(pen_h[:, None] * n_h * 4000.0 * motion, axis=1)
+        press_fd = jax.vmap(maths.quat_rotate)(q_rot_free, scene.joint_face_dir)
+        has_bar = _norm(scene.joint_face_dir, axis=1) > 0.5
 
-        def box_part(center):
-            d = handle - center[None, :]
-            clamped = jnp.clip(d, -pad_half_press, pad_half_press)
-            delta_h = d - clamped
-            dist_h = _norm(delta_h, axis=1)
-            pen_h = jnp.maximum(scene.joint_handle_radius - dist_h, 0.0)
-            n_h = delta_h / jnp.maximum(dist_h, 1e-9)[:, None]
-            return jnp.sum(pen_h[:, None] * n_h * 4000.0 * motion, axis=1)
+        _BIG_QV = 1e9
 
-        press_force = (
-            sphere_part(new_hand, 0.012)
-            + sphere_part(knuckle, 0.032)
-            + box_part(left)
-            + box_part(right)
-        )
+        def _vel_bounds(live, side, center, center_prev, lv, weight):
+            """Inelastic contact velocity bounds on the joint: a face in
+            live press contact with a part on side s cannot move toward
+            that part faster than the part itself moves — without this, a
+            COASTING fixture (low-damping drawer/door) that catches up to
+            a slowly-retreating claw part derives a bogus velocity from
+            the move-capped projection, tunnels through the part, and
+            glides away (MuJoCo's contacts are inelastic: the drawer
+            decelerates to the claw's speed and keeps tracking it)."""
+            vn_q = jnp.sum((center - center_prev)[None, :] * motion, axis=1) / dt / lv
+            act = live & (weight > 0.25)
+            hi = jnp.where(act & (side > 0.0), vn_q, _BIG_QV)
+            lo = jnp.where(act & (side < 0.0), vn_q, -_BIG_QV)
+            return hi, lo
+
+        def sphere_part(center, center_prev, r_part, station=None,
+                        station_lever=None, weight=1.0):
+            """Press contact of a claw part (sphere) against the handle's
+            press geometry — an isotropic DISC of lateral radius
+            `joint_face_radius` (button caps), or, when `joint_face_dir` is
+            set, a CAPSULE bar of radius `joint_handle_radius` and
+            half-length `joint_face_radius` (handle levers, drawer bars).
+            Resolution is along the motion axis, TWO-SIDED with hysteresis:
+            the side is chosen from the part's PREVIOUS position, so a part
+            that tunnels past the face while the joint sits at a range stop
+            (the kinematic hand keeps tracking) cannot flip the contact and
+            yank the joint off the stop — the stop residual pushes the HAND
+            back out instead, which keeps u on the approach side."""
+            pt0 = (handle + press_pt_off) if station is None else station
+            lv = lever if station_lever is None else station_lever
+            # capsule: nearest point on the bar segment to the part
+            s_near = jnp.clip(
+                jnp.sum((center[None, :] - pt0) * press_fd, axis=1),
+                -scene.joint_face_radius, scene.joint_face_radius,
+            )
+            pt = jnp.where(has_bar[:, None], pt0 + s_near[:, None] * press_fd, pt0)
+            d3 = center[None, :] - pt
+            u = jnp.sum(d3 * motion, axis=1)   # part along +motion, rel face
+            u_prev = jnp.sum((center_prev[None, :] - pt) * motion, axis=1)
+            side = jnp.where(jnp.abs(u_prev) > 1e-9, jnp.sign(u_prev), jnp.sign(u))
+            side = jnp.where(side == 0.0, 1.0, side)
+            perp = d3 - u[:, None] * motion
+            pd = _norm(perp, axis=1)
+            r_sum = scene.joint_handle_radius + r_part
+            # effective clearance along motion at this lateral offset:
+            # capsule cross-section for bars, full depth for discs
+            # NB 1e-24 floor, not 0: sqrt'(0)=inf would NaN the backward
+            # pass through the unselected branch (see _norm)
+            eff_r = jnp.where(
+                has_bar,
+                jnp.sqrt(jnp.maximum(r_sum * r_sum - pd * pd, 1e-24)),
+                r_sum,
+            )
+            in_face = jnp.where(
+                has_bar,
+                pd < r_sum,
+                pd < scene.joint_face_radius + 0.6 * r_part,
+            )
+            pen = eff_r - side * u   # penetration toward the approach side
+            # far-side gate: > one radius past the center is a ghost contact
+            live = in_face & (pen > 0.0) & (side * u > -r_sum)
+            # a kinematic contact cannot push the handle farther than the
+            # part itself moved this substep (+2 mm settle slack): a part
+            # that ENTERS the face footprint laterally (in_face flips on
+            # with u already small) must shove at its own speed, not
+            # project the full overlap depth in one substep — uncapped,
+            # a graze slams hinged doors to their range stop
+            move_cap = _norm(center - center_prev) + 0.0005
+            pen = jnp.minimum(pen, move_cap)
+            # part on the +motion side (side +) is pushed away by -q motion
+            dq_p = weight * jnp.where(live, -side * pen, 0.0) / lv
+            return dq_p, *_vel_bounds(live, side, center, center_prev, lv, weight)
+
+        # the wrist/knuckle BLOCK above the pads is a fat box, not a point:
+        # the compiled right_hand collision mesh bbox is ~(0.03,0.04,0.05)
+        # half-extent, and the window golden traces equilibrate the pushed
+        # bar edge 0.030 m from the knuckle center (= 0.022 + bar r 0.008).
+        # The hand never rotates (fixed mocap quat), so the box is
+        # world-axis-aligned. Used against capsule-BAR fixtures (window
+        # handles), where the sphere model misses the lateral overlap.
+        _KNUCKLE_HALF = jnp.array([0.022, 0.040, 0.053])
+
+        def box_part(center, center_prev, half, bar_only=False, weight=1.0):
+            """Press contact of a world-axis-aligned BOX claw part (the hand
+            never rotates — fixed mocap quat) against the handle's press
+            geometry: the capsule bar when `joint_face_dir` is set, else the
+            disc face. Resolution is a slab test along the motion axis with
+            per-axis lateral overlap gates; the motion axis is auto-passed
+            via the (1-|motion|) mask (slide fixtures have axis-aligned
+            motion; hinge tangents degrade gracefully)."""
+            pt0 = handle + press_pt_off
+            s_near = jnp.clip(
+                jnp.sum((center[None, :] - pt0) * press_fd, axis=1),
+                -scene.joint_face_radius, scene.joint_face_radius,
+            )
+            pt = jnp.where(has_bar[:, None], pt0 + s_near[:, None] * press_fd, pt0)
+            d3 = center[None, :] - pt
+            u = jnp.sum(d3 * motion, axis=1)
+            u_prev = jnp.sum((center_prev[None, :] - pt) * motion, axis=1)
+            side = jnp.where(jnp.abs(u_prev) > 1e-9, jnp.sign(u_prev), jnp.sign(u))
+            side = jnp.where(side == 0.0, 1.0, side)
+            lat = d3 - u[:, None] * motion
+            h_m = jnp.sum(half[None, :] * jnp.abs(motion), axis=1)
+            # lateral reach of the press geometry: bar cross-section radius,
+            # or the disc's lateral face radius
+            lat_r = jnp.where(
+                has_bar, scene.joint_handle_radius, scene.joint_face_radius
+            )
+            lat_lim = half[None, :] + lat_r[:, None]
+            lat_ok = jnp.all(
+                jnp.abs(lat) * (1.0 - jnp.abs(motion)) <= lat_lim, axis=1
+            )
+            depth = h_m + scene.joint_handle_radius
+            live = lat_ok & (side * u > -depth)
+            if bar_only:
+                live = live & has_bar
+            pen = depth - side * u
+            live = live & (pen > 0.0)
+            # same lateral-entry cap as sphere_part
+            pen = jnp.minimum(pen, _norm(center - center_prev) + 0.0005)
+            dq_p = weight * jnp.where(live, -side * pen, 0.0) / lever
+            return dq_p, *_vel_bounds(live, side, center, center_prev, lever, weight)
+
+        # press radii are the claw's FORWARD extents (thin finger plates,
+        # ~0.012 m front face at both tip and knuckle heights — golden
+        # button traces equilibrate the hand 0.012 from the pressed face),
+        # not the fatter clearance spheres used for box blocking
+        knuckle_prev = sim.hand + jnp.array([0.0, 0.0, 0.105])
+        left_prev, right_prev = pad_kinematics(sim.hand, sim.gripper)
+        # the "fingertip at the tcp" is only material when the claw is
+        # CLOSED (the tips meet at the center). An open claw is two plates
+        # around a void — the reference descends it AROUND a drawer/handle
+        # bar to hook it, so a center sphere would wrongly wall off every
+        # handle face by r_sum (drawer-open's approach stalled 4 cm out).
+        # Fade over a 2 cm gap band; press poses close the claw (act[3]=+1
+        # -> gap ~ 0), so button/handle calibration is unchanged.
+        pad_gap = gripper * GRIPPER_FULL_OPEN - PAD_GAP_INSET
+        tip_active = jnp.clip((0.025 - pad_gap) / 0.02, 0.0, 1.0)
+        parts = [sphere_part(new_hand, sim.hand, 0.012, weight=tip_active)]
+        # knuckle: box model against bars, sphere against disc faces (the
+        # 0.012 sphere matches the golden button equilibria; the box's disc
+        # gate would be too generous 10 cm above the fingers)
+        ks = sphere_part(knuckle, knuckle_prev, 0.012)
+        kb = box_part(knuckle, knuckle_prev, _KNUCKLE_HALF, bar_only=True)
+        parts.append(tuple(jnp.where(has_bar, b, s) for s, b in zip(ks, kb)))
+        # the pad PLATES press with their real box extents (ref xyz_base.xml
+        # pad boxes, operating pose: x 0.015, y 0.0045, z 0.045): bottom
+        # edges lift/press handle bars, the x-z front face pushes side
+        # buttons when the claw is open (plates straddle the void the
+        # gated tip vacates), and the inner faces catch a drawer bar and
+        # drag it (the reference's open-claw drawer hook)
+        _PLATE_HALF = jnp.array([0.015, 0.0045, 0.045])
+        parts.append(box_part(left, left_prev, _PLATE_HALF))
+        parts.append(box_part(right, right_prev, _PLATE_HALF))
         # held tools strike fixture handles too (hammer head -> nail)
         for i in range(pos.shape[0]):
             tool_i = pos[i] + maths.quat_rotate(quat[i], scene.obj_tool_off[i])
-            press_force = press_force + scene.obj_exists[i] * sphere_part(tool_i, 0.02)
+            tool_i_prev = sim.obj_pos[i] + maths.quat_rotate(
+                sim.obj_quat[i], scene.obj_tool_off[i])
+            parts.append(sphere_part(tool_i, tool_i_prev, 0.02,
+                                     weight=scene.obj_exists[i]))
 
-        # panel stations: hand parts press the door face anywhere on the span
-        def panel_part(center, r_part, station):
-            delta_h = station - center[None, :]
-            dist_h = _norm(delta_h, axis=1)
-            pen_h = jnp.maximum(scene.joint_handle_radius + r_part - dist_h, 0.0)
-            n_h = delta_h / jnp.maximum(dist_h, 1e-9)[:, None]
-            return jnp.sum(pen_h[:, None] * n_h * 4000.0 * motion, axis=1)
+        # panel hinges (doors): press contacts act anywhere along the
+        # pivot->handle span, sampled at a few stations (each with its own
+        # lever radius)
+        pivot_w = sim.fixture_pos[None, :] + scene.joint_anchor
+        for frac in (0.45, 0.65, 0.85):
+            station = pivot_w + frac * (handle - pivot_w)
+            st_lever = jnp.maximum(lever * frac, 1e-6)
+            for center, center_prev, r_part in (
+                (new_hand, sim.hand, 0.012),
+                (knuckle, knuckle_prev, 0.032),
+            ):
+                parts.append(sphere_part(center, center_prev, r_part,
+                                         station, st_lever,
+                                         weight=scene.joint_panel))
 
-        panel_force = jnp.zeros_like(press_force)
-        for station in panel_pts:
-            panel_force = (
-                panel_force
-                + panel_part(new_hand, 0.012, station)
-                + panel_part(knuckle, 0.032, station)
-            )
-        press_force = press_force + scene.joint_panel * panel_force
-
-        # generalized dynamics
-        q, qv = sim.joint_q, sim.joint_v
-        force = (
-            press_force
-            - scene.joint_damping * qv
-            - scene.joint_stiffness * (q - scene.joint_springref)
-            + scene.joint_bias
+        dq_parts = jnp.stack([p[0] for p in parts])  # (n_parts, MAX_JOINT)
+        qv_hi = jnp.min(jnp.stack([p[1] for p in parts]), axis=0)
+        qv_lo = jnp.max(jnp.stack([p[2] for p in parts]), axis=0)
+        dq = (
+            jnp.max(jnp.maximum(dq_parts, 0.0), axis=0)
+            + jnp.min(jnp.minimum(dq_parts, 0.0), axis=0)
         )
-        qacc = force / jnp.maximum(scene.joint_inertia, 1e-6)
-        qv = qv + qacc * dt
-        q_free = q + qv * dt
+        # rate-cap the contact push (4 handle-m/s) so a deep overlap after
+        # a reset or teleport cannot snap the joint in one substep
+        dq = jnp.clip(dq, -4.0 * dt / lever, 4.0 * dt / lever)
+
         # hooked: the grasped handle moves rigidly with the hand (rate-capped
         # at 4 m/s so a teleporting target cannot snap the joint)
         q_target = fixture_inverse(scene, sim.fixture_pos, tcp_mid)
         q_hooked = q + jnp.clip(q_target - q, -4.0 * dt, 4.0 * dt)
-        q_new = jnp.where(hooked > 0, q_hooked, q_free)
+        q_want = q_free + dq
+        q_new = jnp.where(hooked > 0, q_hooked, q_want)
         q_new = jnp.clip(q_new, scene.joint_range[:, 0], scene.joint_range[:, 1])
+        # a press truncated by a range stop stops the HAND instead: the
+        # bottomed-out button/drawer resists with its stop force, and the
+        # reference's weld yields (golden traces: the hand equilibrates a
+        # finger-width from the pressed face, not at the mocap target).
+        # only the PRESS contribution that the stop truncated counts — free
+        # dynamics pinned at a range bound (a spring holding a button at
+        # rest) is not a hand contact and must not back the hand off
+        q_free_clip = jnp.clip(q_free, scene.joint_range[:, 0], scene.joint_range[:, 1])
+        dq_realized = jnp.where(hooked > 0, dq, q_new - q_free_clip)
+        residual = (dq - dq_realized) * (hooked == 0) * scene.joint_exists
+        backoff = -jnp.sum(
+            (residual * lever)[:, None] * motion, axis=0
+        )
+        new_hand = new_hand + backoff
+        # Coulomb pin against the bottomed-out fixture (same cone as the
+        # static-box pin above): while the press is blocked at a range stop,
+        # friction holds the fingers laterally on the face
+        bo_n = _norm(backoff)
+        bo_dir = backoff / jnp.maximum(bo_n, 1e-9)
+        dv_b = new_hand - sim.hand
+        dv_bn = jnp.dot(dv_b, bo_dir) * bo_dir
+        dv_bt = dv_b - dv_bn
+        bt_mag = _norm(dv_bt)
+        bt_allow = jnp.maximum(bt_mag - _MU_HAND * bo_n, 0.0)
+        scale_bt = jnp.where(
+            bo_n > 1e-9, bt_allow / jnp.maximum(bt_mag, 1e-9), 1.0
+        )
+        new_hand = sim.hand + dv_bn + dv_bt * scale_bt
+        hand_vel = (new_hand - sim.hand) / dt
         qv = (q_new - q) / dt
+        # inelastic press contacts: a COASTING fixture that catches a live
+        # contact part decelerates to the part's speed (see _vel_bounds).
+        # DISSIPATIVE ONLY — the bound applies only when it reduces |qv|:
+        # letting it also accelerate would velocity-match the fixture to an
+        # approaching hand at full hand speed, bypassing the move-capped
+        # positional projection (an approach graze then slams a swung-open
+        # door shut). Pushing stays the projection's job.
+        cand = jnp.clip(qv, qv_lo, qv_hi)
+        qv_press = jnp.where(jnp.abs(cand) <= jnp.abs(qv) + 1e-9, cand, qv)
+        qv = jnp.where(hooked > 0, qv, qv_press)
         q_new = q_new * scene.joint_exists
         qv = qv * scene.joint_exists
 

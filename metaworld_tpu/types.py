@@ -94,6 +94,11 @@ class SceneParams:
                                  # body-quat traces)
     obj_grasp_off: jnp.ndarray   # (MAX_OBJ, 3) grasp point rel. COM (wrench/hammer
                                  # handles, lid knob)
+    obj_planar: jnp.ndarray      # (MAX_OBJ,) 0/1 — body is 2-dof slide-jointed in
+                                 # the reference (plate-slide puck, stick thermos):
+                                 # no free joint, no lift, viscous joint damping
+                                 # instead of Coulomb ground friction
+    obj_lin_damping: jnp.ndarray # (MAX_OBJ,) planar slide joint damping (N·s/m)
     link_enable: jnp.ndarray     # () 0/1 — obj0's tool point can hook obj1
     link_handle_off: jnp.ndarray # (3,) hook point rel. obj1 COM
 
@@ -107,9 +112,26 @@ class SceneParams:
     joint_damping: jnp.ndarray   # (MAX_JOINT,)
     joint_stiffness: jnp.ndarray # (MAX_JOINT,) spring toward joint_springref
     joint_springref: jnp.ndarray # (MAX_JOINT,)
-    joint_inertia: jnp.ndarray   # (MAX_JOINT,) generalized inertia
-    joint_bias: jnp.ndarray      # (MAX_JOINT,) constant generalized force (gravity on vertical slides)
+    joint_inertia: jnp.ndarray   # (MAX_JOINT,) generalized inertia M[dof,dof]
+                                 # (compiled-model mass matrix diag, incl. armature)
+    joint_bias: jnp.ndarray      # (MAX_JOINT,) constant generalized force (extra
+                                 # actuator bias; gravity is computed from mass/com)
+    joint_mass: jnp.ndarray      # (MAX_JOINT,) subtree mass (kg) for gravity
+    joint_com: jnp.ndarray       # (MAX_JOINT, 3) subtree COM rel. anchor at q=0
     joint_handle_radius: jnp.ndarray  # (MAX_JOINT,) contact radius of the handle
+                                 # along the motion axis (press-face half depth)
+    joint_face_radius: jnp.ndarray  # (MAX_JOINT,) lateral press-face radius
+                                 # perpendicular to the motion axis (button caps
+                                 # are wide discs: r=0.0425 vs a 0.02 knob)
+    joint_press_off: jnp.ndarray # (MAX_JOINT, 3) press-face center offset from
+                                 # the handle/obs point (the reported body com is
+                                 # not the contact face, e.g. topdown buttons)
+    joint_face_dir: jnp.ndarray  # (MAX_JOINT, 3) handle BAR axis (unit, rotates
+                                 # with the joint). Zero -> the press face is an
+                                 # isotropic disc; set -> a capsule of radius
+                                 # joint_handle_radius and half-length
+                                 # joint_face_radius along this axis (handle
+                                 # levers, drawer handles)
     joint_hookable: jnp.ndarray  # (MAX_JOINT,) 0/1 — gripper can close around handle and pull
     joint_panel: jnp.ndarray     # (MAX_JOINT,) 0/1 — hinge carries a panel: press
                                  # contacts act along the pivot->handle span (doors)

@@ -27,56 +27,56 @@ from metaworld_tpu.envs import registry  # noqa: E402
 
 # (hand_p95_m, obj_p95_m, rew_mae_rel, open_loop_success_agrees)
 CEILINGS = {
-    "assembly-v3": (0.030, 0.030, 0.094, 1),
-    "basketball-v3": (0.312, 0.329, 0.746, 1),
-    "bin-picking-v3": (0.040, 0.037, 0.088, 1),
-    "box-close-v3": (0.170, 0.204, 0.286, 0),
-    "button-press-topdown-v3": (0.039, 0.061, 0.941, 0),
-    "button-press-topdown-wall-v3": (0.030, 0.031, 0.120, 1),
-    "button-press-v3": (0.123, 0.030, 0.376, 1),
-    "button-press-wall-v3": (0.030, 0.030, 0.331, 1),
-    "coffee-button-v3": (0.104, 0.033, 0.450, 1),
+    "assembly-v3": (0.030, 0.030, 0.083, 1),
+    "basketball-v3": (0.312, 0.329, 0.624, 1),
+    "bin-picking-v3": (0.040, 0.037, 0.083, 1),
+    "box-close-v3": (0.170, 0.204, 0.194, 0),
+    "button-press-topdown-v3": (0.177, 0.030, 0.933, 1),
+    "button-press-topdown-wall-v3": (0.330, 0.135, 0.942, 1),
+    "button-press-v3": (0.030, 0.030, 0.462, 1),
+    "button-press-wall-v3": (0.138, 0.080, 0.317, 0),
+    "coffee-button-v3": (0.086, 0.030, 0.083, 1),
     "coffee-pull-v3": (0.032, 0.030, 0.083, 1),
-    "coffee-push-v3": (0.030, 0.103, 1.173, 1),
-    "dial-turn-v3": (0.106, 0.091, 1.002, 1),
-    "disassemble-v3": (0.041, 0.047, 0.104, 1),
-    "door-close-v3": (0.040, 0.925, 1.075, 0),
-    "door-lock-v3": (0.580, 0.122, 0.736, 1),
-    "door-open-v3": (0.366, 0.741, 1.150, 0),
-    "door-unlock-v3": (0.282, 0.236, 1.128, 1),
-    "drawer-close-v3": (0.077, 0.268, 1.405, 1),
-    "drawer-open-v3": (0.158, 0.140, 0.882, 1),
-    "faucet-close-v3": (0.385, 0.365, 0.904, 0),
-    "faucet-open-v3": (0.369, 0.404, 1.008, 0),
-    "hammer-v3": (0.083, 0.100, 0.384, 1),
-    "hand-insert-v3": (0.174, 0.377, 1.500, 0),
-    "handle-press-side-v3": (0.030, 0.066, 0.614, 1),
-    "handle-press-v3": (0.038, 0.048, 0.360, 1),
-    "handle-pull-side-v3": (0.030, 0.261, 0.773, 1),
-    "handle-pull-v3": (0.030, 0.030, 0.104, 1),
-    "lever-pull-v3": (0.672, 0.623, 0.155, 1),
-    "peg-insert-side-v3": (0.596, 0.582, 0.592, 1),
-    "peg-unplug-side-v3": (0.049, 0.112, 0.472, 1),
-    "pick-out-of-hole-v3": (0.038, 0.038, 0.088, 1),
-    "pick-place-v3": (0.046, 0.044, 0.117, 1),
-    "pick-place-wall-v3": (0.059, 0.056, 0.101, 1),
-    "plate-slide-back-side-v3": (0.045, 0.493, 0.358, 0),
-    "plate-slide-back-v3": (0.045, 0.296, 0.251, 1),
-    "plate-slide-side-v3": (0.332, 0.378, 0.931, 1),
-    "plate-slide-v3": (0.335, 0.123, 1.222, 1),
-    "push-back-v3": (0.067, 0.625, 0.342, 0),
-    "push-v3": (0.077, 0.071, 0.102, 1),
-    "push-wall-v3": (0.090, 0.083, 0.102, 1),
+    "coffee-push-v3": (0.030, 0.103, 1.025, 1),
+    "dial-turn-v3": (0.106, 0.134, 0.980, 1),
+    "disassemble-v3": (0.041, 0.047, 0.083, 1),
+    "door-close-v3": (0.217, 0.174, 0.083, 1),
+    "door-lock-v3": (0.580, 0.207, 0.726, 1),
+    "door-open-v3": (0.366, 0.972, 1.282, 0),
+    "door-unlock-v3": (0.248, 0.301, 0.341, 1),
+    "drawer-close-v3": (0.049, 0.030, 0.083, 1),
+    "drawer-open-v3": (0.158, 0.324, 1.131, 0),
+    "faucet-close-v3": (0.385, 0.477, 0.729, 1),
+    "faucet-open-v3": (0.369, 0.514, 0.188, 1),
+    "hammer-v3": (0.083, 0.100, 0.280, 1),
+    "hand-insert-v3": (0.174, 0.377, 1.376, 0),
+    "handle-press-side-v3": (0.030, 0.062, 0.083, 1),
+    "handle-press-v3": (0.038, 0.031, 0.088, 1),
+    "handle-pull-side-v3": (0.030, 0.033, 0.138, 1),
+    "handle-pull-v3": (0.030, 0.030, 0.083, 1),
+    "lever-pull-v3": (0.672, 0.621, 0.083, 1),
+    "peg-insert-side-v3": (0.036, 0.042, 0.083, 1),
+    "peg-unplug-side-v3": (0.049, 0.112, 0.367, 1),
+    "pick-out-of-hole-v3": (0.038, 0.038, 0.083, 1),
+    "pick-place-v3": (0.046, 0.044, 0.083, 1),
+    "pick-place-wall-v3": (0.059, 0.056, 0.083, 1),
+    "plate-slide-back-side-v3": (0.045, 0.493, 0.261, 0),
+    "plate-slide-back-v3": (0.045, 0.296, 0.161, 1),
+    "plate-slide-side-v3": (0.332, 0.378, 0.798, 1),
+    "plate-slide-v3": (0.335, 0.123, 1.071, 1),
+    "push-back-v3": (0.067, 0.625, 0.246, 0),
+    "push-v3": (0.077, 0.071, 0.083, 1),
+    "push-wall-v3": (0.090, 0.083, 0.083, 1),
     "reach-v3": (0.030, 0.030, 0.083, 1),
     "reach-wall-v3": (0.045, 0.030, 0.083, 1),
-    "shelf-place-v3": (0.333, 0.295, 0.643, 1),
-    "soccer-v3": (0.321, 0.361, 0.778, 0),
-    "stick-pull-v3": (0.100, 0.068, 0.150, 1),
-    "stick-push-v3": (0.277, 0.331, 1.232, 1),
-    "sweep-into-v3": (0.185, 0.182, 0.317, 1),
-    "sweep-v3": (0.032, 0.092, 1.333, 1),
-    "window-close-v3": (0.348, 0.183, 0.744, 1),
-    "window-open-v3": (0.302, 0.086, 0.653, 1),
+    "shelf-place-v3": (0.333, 0.295, 0.528, 1),
+    "soccer-v3": (0.321, 0.361, 0.654, 0),
+    "stick-pull-v3": (0.100, 0.068, 0.083, 1),
+    "stick-push-v3": (0.277, 0.331, 1.080, 1),
+    "sweep-into-v3": (0.185, 0.182, 0.222, 1),
+    "sweep-v3": (0.032, 0.092, 1.175, 1),
+    "window-close-v3": (0.332, 0.030, 0.101, 1),
+    "window-open-v3": (0.053, 0.030, 0.140, 1),
 }
 
 
