@@ -51,7 +51,7 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
     required before step, truncation at 500 steps.
     """
 
-    metadata = {"render_modes": ["rgb_array", "depth_array"],
+    metadata = {"render_modes": ["rgb_array", "depth_array", "human"],
                 "render_fps": 80}
 
     def __init__(self, env_name: str, seed: int | None = None,
@@ -193,15 +193,51 @@ class SawyerEnv(gym.Env if _HAS_GYM else object):
         """rgb_array / depth_array from the configured camera (ref cameras
         topview/corner/corner2/corner3/corner4/behindGripper/gripperPOV,
         xyz_base.xml:16-20,152-153; width/height per _init_each_env,
-        ref __init__.py:407-410)."""
+        ref __init__.py:407-410). "human" displays the frame and returns
+        None (gymnasium semantics, ref docs/rendering/rendering.md): a
+        matplotlib window when a GUI display exists, else frames are
+        written under ./renders/<env>/ — the headless-TPU stand-in for
+        the reference's GLFW viewer."""
         from metaworld_tpu.render import render_camera
 
         depth = self.render_mode == "depth_array"
         cam = self.camera_name
         if depth and cam == "topview":
             cam = "corner"
-        return render_camera(self.spec_, self._state, camera=cam, depth=depth,
-                             width=self.width, height=self.height)
+        img = render_camera(self.spec_, self._state, camera=cam, depth=depth,
+                            width=self.width, height=self.height)
+        if self.render_mode != "human":
+            return img
+        self._human_frame_idx = getattr(self, "_human_frame_idx", -1) + 1
+        try:
+            import os
+            if os.environ.get("DISPLAY"):
+                import matplotlib.pyplot as plt
+                if not hasattr(self, "_human_fig"):
+                    plt.ion()
+                    self._human_fig, ax = plt.subplots()
+                    self._human_im = ax.imshow(img)
+                    ax.set_axis_off()
+                else:
+                    self._human_im.set_data(img)
+                self._human_fig.canvas.draw_idle()
+                self._human_fig.canvas.flush_events()
+                return None
+        except Exception:  # no GUI backend — fall through to file frames
+            pass
+        import pathlib
+
+        import numpy as _np
+        out = pathlib.Path("renders") / self.env_name
+        out.mkdir(parents=True, exist_ok=True)
+        try:
+            from PIL import Image
+            Image.fromarray(_np.asarray(img)).save(
+                out / f"{self._human_frame_idx:06d}.png")
+        except Exception:
+            _np.save(out / f"{self._human_frame_idx:06d}.npy",
+                     _np.asarray(img))
+        return None
 
 
 # ---------------------------------------------------------------------------
