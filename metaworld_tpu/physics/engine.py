@@ -723,7 +723,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             return hi, lo
 
         def sphere_part(center, center_prev, r_part, station=None,
-                        station_lever=None, weight=1.0):
+                        station_lever=None, weight=1.0, r_face=None):
             """Press contact of a claw part (sphere) against the handle's
             press geometry — an isotropic DISC of lateral radius
             `joint_face_radius` (button caps), or, when `joint_face_dir` is
@@ -737,6 +737,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             back out instead, which keeps u on the approach side."""
             pt0 = (handle + press_pt_off) if station is None else station
             lv = lever if station_lever is None else station_lever
+            face_r = scene.joint_handle_radius if r_face is None else r_face
             # capsule: nearest point on the bar segment to the part
             s_near = jnp.clip(
                 jnp.sum((center[None, :] - pt0) * press_fd, axis=1),
@@ -750,7 +751,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             side = jnp.where(side == 0.0, 1.0, side)
             perp = d3 - u[:, None] * motion
             pd = _norm(perp, axis=1)
-            r_sum = scene.joint_handle_radius + r_part
+            r_sum = face_r + r_part
             # effective clearance along motion at this lateral offset:
             # capsule cross-section for bars, full depth for discs
             # NB 1e-24 floor, not 0: sqrt'(0)=inf would NaN the backward
@@ -769,12 +770,18 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             # far-side gate: > one radius past the center is a ghost contact
             live = in_face & (pen > 0.0) & (side * u > -r_sum)
             # a kinematic contact cannot push the handle farther than the
-            # part itself moved this substep (+2 mm settle slack): a part
-            # that ENTERS the face footprint laterally (in_face flips on
-            # with u already small) must shove at its own speed, not
-            # project the full overlap depth in one substep — uncapped,
-            # a graze slams hinged doors to their range stop
-            move_cap = _norm(center - center_prev) + 0.0005
+            # part itself moved ALONG THE MOTION AXIS this substep
+            # (+0.5 mm settle slack): a part that ENTERS the face footprint
+            # laterally (in_face flips on with u already small) must shove
+            # at its own approach speed, not project the full overlap depth
+            # in one substep — uncapped, a graze slams hinged doors to
+            # their range stop. The cap must be the motion-axis COMPONENT:
+            # funding it from the total move lets a hand sliding along a
+            # stopped face convert its tangential speed into a phantom
+            # press, whose stop residual then Coulomb-pins the hand frozen.
+            move_cap = jnp.abs(
+                jnp.sum((center - center_prev)[None, :] * motion, axis=1)
+            ) + 0.0005
             pen = jnp.minimum(pen, move_cap)
             # part on the +motion side (side +) is pushed away by -q motion
             dq_p = weight * jnp.where(live, -side * pen, 0.0) / lv
@@ -825,8 +832,10 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 live = live & has_bar
             pen = depth - side * u
             live = live & (pen > 0.0)
-            # same lateral-entry cap as sphere_part
-            pen = jnp.minimum(pen, _norm(center - center_prev) + 0.0005)
+            # same motion-axis lateral-entry cap as sphere_part
+            pen = jnp.minimum(pen, jnp.abs(
+                jnp.sum((center - center_prev)[None, :] * motion, axis=1)
+            ) + 0.0005)
             dq_p = weight * jnp.where(live, -side * pen, 0.0) / lever
             return dq_p, *_vel_bounds(live, side, center, center_prev, lever, weight)
 
@@ -915,6 +924,15 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         backoff = -jnp.sum(
             (residual * lever)[:, None] * motion, axis=0
         )
+        # the eject may not exceed the hand's own displacement this
+        # substep: the press demand carries a 0.5 mm settle slack, and an
+        # eject inflated by that slack makes the Coulomb pin below read a
+        # phantom normal force every substep — a hand sliding ALONG a
+        # stopped door face then freezes in place (u=1 cone: tangential
+        # demand <= phantom normal) instead of slipping down to the handle
+        bo_raw = _norm(backoff)
+        move_pre = _norm(new_hand - sim.hand)
+        backoff = backoff * jnp.minimum(1.0, move_pre / jnp.maximum(bo_raw, 1e-9))
         new_hand = new_hand + backoff
         # Coulomb pin against the bottomed-out fixture (same cone as the
         # static-box pin above): while the press is blocked at a range stop,
