@@ -61,7 +61,14 @@ def main():
             for _ in range(args.record_episodes * 500):
                 acts = pol(jnp.asarray(obs))
                 state, out = envs.step(state, acts)
-                w.write({"obs": np.asarray(obs), "action": np.asarray(acts)})
+                # record the EFFECTIVE xyz action: the engine clips the
+                # mocap delta to [-1,1] (engine.control_step), and some
+                # experts emit heavy-tailed raw magnitudes (drawer-open
+                # peaks |a|>5) that are unlearnable noise for the clone
+                # while being behaviorally identical to their clip
+                a_rec = np.asarray(acts).copy()
+                a_rec[:, :3] = np.clip(a_rec[:, :3], -1.0, 1.0)
+                w.write({"obs": np.asarray(obs), "action": a_rec})
                 obs = out["obs"]
             w.flush()
         print(f"recorded {data_path} in {time.time()-t0:.1f}s")
