@@ -84,29 +84,34 @@ class TaskSpec:
     def rand_dim(self) -> int:
         return int(self.rand_low.shape[0])
 
+    # NB these caches hold NUMPY leaves, not device arrays: a device
+    # constant materialized inside a shard_map trace carries that trace's
+    # mesh on its aval, and the cache would then leak a mesh-1 constant
+    # into a later mesh-8 trace ("context mesh should match aval mesh"
+    # when scaling_bench sweeps mesh sizes in one process). Numpy trees
+    # are mesh-agnostic and lift into each trace as fresh constants.
     @functools.cached_property
     def scene_device(self) -> SceneParams:
-        with jax.ensure_compile_time_eval():
-            return jax.tree.map(jnp.asarray, self.scene)
+        return jax.tree.map(np.asarray, self.scene)
 
     @functools.cached_property
     def obs_clip_visible(self):
-        with jax.ensure_compile_time_eval():
-            lo, hi = obs_bounds(self, True)
-            return jnp.asarray(lo), jnp.asarray(hi)
+        lo, hi = obs_bounds(self, True)
+        return np.asarray(lo), np.asarray(hi)
 
     @functools.cached_property
     def obs_clip_hidden(self):
-        with jax.ensure_compile_time_eval():
-            lo, hi = obs_bounds(self, False)
-            return jnp.asarray(lo), jnp.asarray(hi)
+        lo, hi = obs_bounds(self, False)
+        return np.asarray(lo), np.asarray(hi)
 
     @functools.cached_property
     def quat0_device(self):
-        with jax.ensure_compile_time_eval():
-            if self.obj_quat0 is None:
-                return jnp.tile(maths.quat_identity(), (MAX_OBJ, 1))
-            return jnp.asarray(self.obj_quat0)
+        if self.obj_quat0 is None:
+            # identity wxyz in raw numpy — maths.quat_identity() is a jnp
+            # op and would trace if first touched inside a jit/shard_map
+            return np.tile(np.array([1.0, 0.0, 0.0, 0.0], np.float32),
+                           (MAX_OBJ, 1))
+        return np.asarray(self.obj_quat0)
 
 
 # ---------------------------------------------------------------------------
