@@ -279,6 +279,7 @@ def base_sim_state(spec: TaskSpec) -> SimState:
         attach_off=z((MAX_OBJ, 3)),
         unanchored=z(MAX_OBJ),
         hooked=z(MAX_JOINT),
+        hook_off=z(MAX_JOINT),
         pad_force_l=z(()),
         pad_force_r=z(()),
         pad_l=pad_l0,

@@ -29,16 +29,27 @@ class FreeObj:
 
     kind: int = ObjType.CYLINDER
     radius: float = 0.02        # horizontal contact radius
+    half_x: float = 0.0         # x half-extent for pad contacts (0 -> radius);
+                                # set for rods lying along x (stick: box geom
+                                # half 0.05, ref objects/assets/stick.xml)
     half_h: float = 0.02        # COM height above support when resting
     mass: float = 0.1
     graspable: bool = True
     grasp_halfwidth: float = 0.02  # y half-width the pads clamp onto
     anchored: bool = False      # held in place (socketed) until first grasped
+    hook_grasp: bool = False    # the claw catches a geometric feature (plug end
+                                # cap): attaches when caged with the grip driving
+                                # closed, no squeeze contact required (the ref
+                                # peg-unplug drags the plug at grip ~0.88, pads
+                                # 13 mm clear of the shaft)
     tool_off: tuple = (0.0, 0.0, 0.0)  # tool point rel. COM (hammer head, stick tip)
     grasp_off: tuple = (0.0, 0.0, 0.0)  # grasp point rel. COM (handles, knobs)
     droop: float = 0.0  # equilibrium in-grip pitch about the pad axis (rad)
     planar: bool = False  # 2-dof slide body in the reference: no lift, no gravity
     lin_damping: float = 0.0  # planar slide joint damping (N·s/m)
+    friction: float = 0.55  # sliding Coulomb coefficient on the support
+                            # (MuJoCo's default mu is 1.0 — e.g. the soccer
+                            # ball, soccer_dependencies.xml condim=3)
 
 
 @dataclasses.dataclass
@@ -64,6 +75,9 @@ class FixtureJoint:
                                        # (radius handle_radius, half-len face_radius)
     hookable: bool = False             # gripper can close on handle and pull
     panel: bool = False                # hinge carries a panel (press along the arm span)
+    panel_off: float = 0.0             # panel plane offset from the pivot->handle
+                                       # line along +motion (door handles stick out
+                                       # in front of the panel)
 
 
 @dataclasses.dataclass
@@ -81,6 +95,7 @@ def build_scene(
     hole_center=(0.0, 0.0),
     hole_halfsize=(0.0, 0.0),
     pit_depth=0.0,
+    table_z=0.0,
     mocap_low=(-0.2, 0.55, 0.05),
     mocap_high=(0.2, 0.75, 0.3),
     link_enable=False,
@@ -104,6 +119,7 @@ def build_scene(
         obj_exists=pad([1.0] * len(o), MAX_OBJ).astype(f),
         obj_type=pad([x.kind for x in o], MAX_OBJ).astype(np.int32),
         obj_radius=pad([x.radius for x in o], MAX_OBJ).astype(f),
+        obj_half_x=pad([x.half_x or x.radius for x in o], MAX_OBJ).astype(f),
         obj_half_h=pad([x.half_h for x in o], MAX_OBJ).astype(f),
         obj_mass=pad([x.mass for x in o], MAX_OBJ).astype(f),
         obj_graspable=pad([float(x.graspable) for x in o], MAX_OBJ).astype(f),
@@ -114,6 +130,8 @@ def build_scene(
         obj_grasp_off=pad([x.grasp_off for x in o], MAX_OBJ, 3).astype(f),
         obj_planar=pad([float(x.planar) for x in o], MAX_OBJ).astype(f),
         obj_lin_damping=pad([x.lin_damping for x in o], MAX_OBJ).astype(f),
+        obj_friction=pad([x.friction for x in o], MAX_OBJ).astype(f),
+        obj_hook_grasp=pad([float(x.hook_grasp) for x in o], MAX_OBJ).astype(f),
         link_enable=np.asarray(float(link_enable), dtype=f),
         link_handle_off=np.asarray(link_handle_off, dtype=f),
         joint_exists=pad([1.0] * len(j), MAX_JOINT).astype(f),
@@ -137,6 +155,7 @@ def build_scene(
         joint_face_dir=pad([x.face_dir for x in j], MAX_JOINT, 3).astype(f),
         joint_hookable=pad([float(x.hookable) for x in j], MAX_JOINT).astype(f),
         joint_panel=pad([float(x.panel) for x in j], MAX_JOINT).astype(f),
+        joint_panel_off=pad([x.panel_off for x in j], MAX_JOINT).astype(f),
         static_exists=pad([1.0] * len(b), MAX_STATIC).astype(f),
         static_pos=pad([x.pos for x in b], MAX_STATIC, 3).astype(f),
         static_size=pad([x.size for x in b], MAX_STATIC, 3).astype(f),
@@ -146,6 +165,7 @@ def build_scene(
         hole_center=np.asarray(hole_center, dtype=f),
         hole_halfsize=np.asarray(hole_halfsize, dtype=f),
         pit_depth=np.asarray(pit_depth, dtype=f),
+        table_z=np.asarray(table_z, dtype=f),
         mocap_low=np.asarray(mocap_low, dtype=f),
         mocap_high=np.asarray(mocap_high, dtype=f),
     )

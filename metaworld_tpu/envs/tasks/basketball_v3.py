@@ -89,7 +89,11 @@ def _reward(spec: TaskSpec, state, obs, action):
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         objs=[FreeObj(kind=2, radius=0.025, half_h=0.03, graspable=True,
-                      grasp_halfwidth=0.025, mass=0.05)],
+                      # the pads pinch the ball below its equator: golden
+                      # carries ride the ball's COM +12 mm above the tcp
+                      # (canonical grip 0.006 - grasp_off_z)
+                      grasp_halfwidth=0.025, mass=0.05,
+                      grasp_off=(0.0, 0.0, -0.006))],
         # basket frame uprights (rough): keep the ball from passing through
         boxes=[StaticBox(pos=(0.0, 0.0, 0.15), size=(0.01, 0.01, 0.15),
                          rel_fixture=True)],

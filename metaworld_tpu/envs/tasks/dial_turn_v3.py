@@ -84,6 +84,10 @@ def make_spec(task_id: int) -> TaskSpec:
             kind=JointType.HINGE, axis=(0.0, 0.0, -1.0), anchor=(0.0, 0.0, 0.0),
             arm=(0.0, -0.05, 0.07), range=(-0.2, 3.0), damping=1.5, inertia=0.08,
             handle_radius=0.035,
+            # NOT hookable: the scripted policy cranks the dial by pushing
+            # the pin with the claw's SIDE from ~0.9 rad around the dial
+            # (ref sawyer_dial_turn_v3_policy.py targets dial + (0.05,
+            # 0.02, 0.09)) — press contact is the faithful mechanism
         )],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

@@ -92,6 +92,9 @@ def make_spec(task_id: int) -> TaskSpec:
             range=(-0.4292, 1.5708), damping=2.0, inertia=0.151, mass=2.23,
             handle_radius=0.023, face_radius=0.097, face_dir=(0.0, 0.0, 1.0),
             panel=True,
+            # mirrored q-convention vs door-open (q=0 is OPEN here):
+            # the handle protrudes on the +motion side, panel behind it
+            panel_off=-0.12,
         )],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

@@ -105,7 +105,7 @@ def make_spec(task_id: int) -> TaskSpec:
             # that slammed the door to its stop)
             range=(-2.0, 0.0), damping=2.0, inertia=0.151, mass=2.23,
             handle_radius=0.023, face_radius=0.097, face_dir=(0.0, 0.0, 1.0),
-            hookable=True, panel=True,
+            hookable=True, panel=True, panel_off=0.12,
         )],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

@@ -91,6 +91,11 @@ def make_faucet_spec(name, task_id, obj_low, obj_high, ccw: bool, obj_offset,
             anchor=(0.0, 0.0, 0.0),
             arm=(arm_x, -0.175, 0.114),
             range=(-0.2, 2.0), damping=2.0, inertia=0.15, handle_radius=0.035,
+            # the reference claw closes AROUND the handle knob and orbits the
+            # column dragging it (sawyer_faucet_open_v3.py policy path) — a
+            # hook, not a press: the scripted grab point is ~35 mm from the
+            # knob site, outside any honest press-face reach
+            hookable=True,
         )],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

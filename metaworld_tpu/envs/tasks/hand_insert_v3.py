@@ -79,8 +79,12 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         objs=[FreeObj(radius=0.02, half_h=0.02, graspable=True, grasp_halfwidth=0.0227)],
         hole_center=(0.0, 0.84),
-        hole_halfsize=(0.055, 0.055),
-        pit_depth=0.05,
+        # basic_scene_b: tabletop at +0.05, hole x +-0.08 / y 0.76..0.92,
+        # pit floor at -0.05 (ref assets/scene/basic_scene_b.xml:33-37) —
+        # the block rests at COM 0.07 on the table, -0.03 in the pit
+        hole_halfsize=(0.08, 0.08),
+        pit_depth=0.10,
+        table_z=0.05,
         mocap_low=(-0.5, 0.40, -0.15),
         mocap_high=(0.5, 1.0, 0.5),
     )

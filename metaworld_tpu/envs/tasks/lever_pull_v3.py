@@ -94,7 +94,9 @@ def make_spec(task_id: int) -> TaskSpec:
         joints=[FixtureJoint(
             kind=JointType.HINGE, axis=(-1.0, 0.0, 0.0), anchor=_PIVOT, arm=_ARM,
             range=(-0.7, 1.8), damping=3.0, inertia=0.5, bias=-0.8,
-            handle_radius=0.045, hookable=False,
+            # the claw wraps the lever ball (up to +130 mm above the tcp
+            # while swinging it up in the golden traces) — hook semantics
+            handle_radius=0.045, hookable=True,
         )],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

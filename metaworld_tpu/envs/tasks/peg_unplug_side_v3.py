@@ -73,7 +73,12 @@ def _reward(spec: TaskSpec, state, obs, action):
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         objs=[FreeObj(radius=0.03, half_h=0.03, graspable=True,
-                      grasp_halfwidth=0.031, anchored=True)],
+                      # plug-cap hook: the ref claw drags the plug at grip
+                      # ~0.88 (pads clear of the shaft) — the mushroom end
+                      # cap catches the fingers; golden drags ride the plug
+                      # COM +25 mm ahead of the tcp in x, +12 mm in z
+                      grasp_halfwidth=0.031, anchored=True, hook_grasp=True,
+                      grasp_off=(-0.025, 0.0, -0.006))],
         boxes=[StaticBox(pos=(-0.05, 0.0, 0.1), size=(0.08, 0.1, 0.1),
                          rel_fixture=True)],
         mocap_low=(-0.5, 0.40, 0.05),

@@ -88,8 +88,14 @@ def _reward(spec: TaskSpec, state, obs, action):
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         # the reference's scripted play never grasps the ball (grasp_success
-        # is 0 across all golden traces): it is kicked/pushed only
-        objs=[FreeObj(kind=2, radius=0.026, half_h=0.026, graspable=False,
+        # is 0 across all golden traces): it is kicked/pushed only.
+        # friction 2.5 is the calibrated EFFECTIVE stopping rate of the
+        # kicked ball: in the reference the fingers drag the ball as the
+        # kick ends (the decelerating claw stays in rolling contact), so
+        # the ball stops ~3x faster than table Coulomb alone — matching
+        # the golden post-kick coast distance (ref ball stops in 2.5 cm
+        # from 0.8 m/s; table mu=1 alone would coast 4.3 cm)
+        objs=[FreeObj(kind=2, radius=0.026, half_h=0.026, graspable=False, friction=2.5,
                       grasp_halfwidth=0.026, mass=0.05)],
         # goal frame: back net + posts catch the ball (the fixture base is
         # moved to the sampled goal at reset)

@@ -28,7 +28,7 @@ def stick_scene(link: bool):
     # engine droop_on); stick-push never inserts, tiny droop
     return build_scene(
         objs=[
-            FreeObj(radius=0.025, half_h=0.02, graspable=True,
+            FreeObj(radius=0.025, half_x=0.05, half_h=0.02, graspable=True,
                     grasp_halfwidth=0.015, tool_off=(0.13, 0.0, 0.0),
                     droop=-0.34 if link else -0.05),
             FreeObj(radius=0.045, half_h=0.132, graspable=False, mass=0.2),

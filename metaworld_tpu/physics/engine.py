@@ -31,8 +31,11 @@ jit/vmap-able, branchless, with all per-task variation expressed as
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from metaworld_tpu.types import (
     ACTION_SCALE,
@@ -49,13 +52,66 @@ from metaworld_tpu.physics import maths
 
 # --- calibrated hand-tracking constants (fit on reference reach-v3 traces) ---
 TCP_OFFSET = jnp.array([0.0044, 0.0015, -0.0498])  # tcp rest offset from mocap (measured at the reference settle)
-HAND_TAU = 0.082                               # first-order tracking constant (s)
+# Second-order weld tracking: ramp lag = 2*zeta/omega ~= 50 ms (gap-binned
+# free-motion fit of all 50 golden traces gives an effective first-order
+# constant of 0.042-0.048 s for 8-60 mm gaps; a naive whole-trace fit
+# drifts to ~0.08 because contact-stuck phases contaminate it). The
+# second-order form adds the arm's MOMENTUM: the tcp coasts a few cm past
+# a reversing target (golden wall tasks clear wall edges on exactly that
+# overshoot).
+HAND_W = 40.0                                  # natural frequency (rad/s)
+HAND_ZETA = 1.0                                # damping ratio
+HAND_VMAX = 1.2                                # weld speed saturation (m/s):
+# golden-trace tcp speeds top out at p99 = 14.6 mm per 12.5 ms control step
 # obs hand position = body("hand").xpos sits above the tcp (fingertip sites)
 HAND_BODY_OFFSET = jnp.array([0.0, 0.0, 0.045])
 # pad box centers sit above the fingertip sites (pad long axis is vertical)
 PAD_Z_OFFSET = 0.045
 # claw gap = 0.1 - (q_r - q_l); pad gap = claw gap - 0.006 (pads inset 3mm each)
 PAD_GAP_INSET = 0.006
+
+# --- arm reach envelope (sampled from the reference model, see
+# scripts/fit_reach_envelope.py) ---
+# The mocap weld drags a 7-dof arm with joint limits: a weld target outside
+# the arm's reachable set leaves the tcp parked on the envelope boundary
+# nearest the target (golden push-back: mocap y=0.893 at z=0.05, tcp stalls
+# at y~0.845 with right_j1 pinned at its -0.50 range stop). The sampled
+# field maps mocap grid points -> settled tcp displacement; the engine
+# trilerps it at the live mocap and shifts the weld target. Small interior
+# values (sampling noise + the mean sag TCP_OFFSET already carries) are
+# tapered to zero so interior tracking keeps its trace-fit calibration.
+_REACH = np.load(
+    os.path.join(os.path.dirname(__file__), "..", "data", "reach_envelope.npz")
+)
+_REACH_LO = _REACH["lo"].astype(np.float32)
+_REACH_HI = _REACH["hi"].astype(np.float32)
+_REACH_N = _REACH["n"].astype(np.int32)
+_REACH_DELTA = _REACH["delta"].astype(np.float32)
+
+
+def _reach_target_delta(p):
+    """Trilinear sample of the settled-tcp displacement field at mocap p."""
+    n = jnp.asarray(_REACH_N)
+    t = (p - _REACH_LO) / (_REACH_HI - _REACH_LO) * (n - 1).astype(p.dtype)
+    t = jnp.clip(t, 0.0, (n - 1).astype(p.dtype) - 1e-4)
+    i0 = jnp.floor(t).astype(jnp.int32)
+    f = t - i0
+    grid = jnp.asarray(_REACH_DELTA)
+    acc = jnp.zeros(3, p.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (f[0] if dx else 1.0 - f[0])
+                    * (f[1] if dy else 1.0 - f[1])
+                    * (f[2] if dz else 1.0 - f[2])
+                )
+                acc = acc + w * grid[i0[0] + dx, i0[1] + dy, i0[2] + dz]
+    mag = _norm(acc)
+    # taper: 0 below 8 mm, full above 20 mm
+    gate = jnp.clip((mag - 0.008) / 0.012, 0.0, 1.0)
+    return acc * gate
+
 
 # gripper finger ODE constants from the MJCF (per finger):
 #   q'' = (kp*(ctrl - q) - damping*q') / (armature + mass)
@@ -69,6 +125,8 @@ _L_RANGE = (-0.03, 0.0)
 _HAND_SPHERE_R = 0.026   # palm/claw effective radius for pushing
 _HAND_TIP_R = 0.005      # fingertip sphere vs static geometry
 _HAND_KNUCKLE_R = 0.03   # knuckle block sphere vs static geometry
+_PAD_TIP_BEVEL = 0.008   # fingertip taper: grazing edge landings within this
+                         # horizontal overlap wedge off the vertical face
 _FRICTION_DEFAULT = 0.55
 _GRASP_XZ_TOL = 0.035    # max horizontal tcp-to-object distance for a grasp
 _GRASP_Z_SPAN = 0.09     # pads (vertical plates) span tcp .. tcp+0.09 in z
@@ -125,11 +183,14 @@ def aperture_obs(sim: SimState) -> jnp.ndarray:
 
 
 def _support_z(scene: SceneParams, xy: jnp.ndarray) -> jnp.ndarray:
-    """Ground support height under a point: table top, or the pit floor when
-    inside the table hole (sweep-into / hand-insert / pick-out-of-hole)."""
+    """Ground support height under a point: table top (scene.table_z — the
+    hole scenes' basic_scene_b tabletop sits at +0.05), or the pit floor
+    when inside the table hole (sweep-into / hand-insert /
+    pick-out-of-hole)."""
+    base = TABLE_Z + scene.table_z
     in_hole = jnp.all(jnp.abs(xy - scene.hole_center) < scene.hole_halfsize)
     has_hole = jnp.any(scene.hole_halfsize > 0.0)
-    return jnp.where(has_hole & in_hole, TABLE_Z - scene.pit_depth, TABLE_Z)
+    return jnp.where(has_hole & in_hole, base - scene.pit_depth, base)
 
 
 def _static_boxes_world(scene: SceneParams, fixture_pos: jnp.ndarray):
@@ -242,9 +303,26 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
     def substep(sim: SimState, _):
         dt = SIM_DT
         # --- hand tracking (mocap weld) ---
-        target = sim.mocap + TCP_OFFSET
-        alpha = 1.0 - jnp.exp(-dt / HAND_TAU)
-        new_hand = sim.hand + (target - sim.hand) * alpha
+        # SECOND-ORDER pull toward the mocap target, speed-capped. The weld
+        # drags a massive arm: the tcp carries momentum, so it coasts a few
+        # cm past a reversing target (the scripted wall tasks depend on
+        # that overshoot to clear wall edges before descending — a
+        # first-order lag cannot produce it). Ramp lag = 2*zeta/omega
+        # (~50 ms, the golden free-tracking regime); the speed cap models
+        # the weld's finite constraint force — golden tcp speeds top out
+        # at ~1.2 m/s (p99 = 14.6 mm / control step), and without the cap
+        # a large-gap chase tunnels through press faces.
+        # weld target = mocap + rest offset, pulled onto the arm's reach
+        # envelope (joint limits cap the far/low workspace — see
+        # _reach_target_delta above)
+        target = sim.mocap + TCP_OFFSET + _reach_target_delta(sim.mocap)
+        vel_h = sim.hand_vel
+        acc = HAND_W * HAND_W * (target - sim.hand) \
+            - 2.0 * HAND_ZETA * HAND_W * vel_h
+        vel_h = vel_h + acc * dt
+        vn = _norm(vel_h)
+        vel_h = vel_h * jnp.minimum(1.0, HAND_VMAX / jnp.maximum(vn, 1e-9))
+        new_hand = sim.hand + vel_h * dt
 
         # --- hand vs static geometry ---
         # The reference's arm is a real collider: fixture bodies stop the
@@ -283,6 +361,18 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 pen = (pad_half_blk + bs) - jnp.abs(d)
                 hit = jnp.all(pen > 0.0) & (on > 0)
                 axis = jnp.argmin(pen)
+                # Tapered fingertips (the reference's finger meshes narrow
+                # toward the tip): a DESCENT that grazes a box's top edge
+                # wedges off the vertical face instead of resting on the
+                # lip (golden button-press-wall: the right finger slides
+                # down the wall's +y face at ~2-6 mm overlap while the
+                # recorded tcp descends past the wall top). Prefer the
+                # horizontal resolution whenever the horizontal
+                # penetration is within the tip bevel, even if the
+                # first-touch top penetration is momentarily smaller.
+                pen_h = jnp.minimum(pen[0], pen[1])
+                axis_h = jnp.argmin(pen[:2])
+                axis = jnp.where(pen_h < _PAD_TIP_BEVEL, axis_h, axis)
                 hot = (jnp.arange(3) == axis).astype(d.dtype)
                 d_axis = jnp.sum(hot * d)
                 n = hot * jnp.where(d_axis >= 0, 1.0, -1.0)
@@ -336,7 +426,11 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
 
         # --- attach / detach ---
         gap_m = gripper * GRIPPER_FULL_OPEN
-        gripping = (effort > 0.0) & (squeeze > 0.0)
+        # hook-grasp objects (plug end caps) attach as soon as they are
+        # caged with the grip driving closed — no squeeze contact needed
+        gripping = (effort > 0.0) & (
+            (squeeze > 0.0) | (scene.obj_hook_grasp > 0)
+        )
         newly = can_grasp & gripping & (sim.attached == 0)
         attach_off = jnp.where(
             newly[:, None], sim.obj_pos - new_hand[None, :], sim.attach_off
@@ -344,23 +438,39 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         attached = jnp.where(newly, 1.0, sim.attached)
         # anchored objects (socketed plugs) come free at their first grasp
         unanchored = jnp.where(newly, 1.0, sim.unanchored)
-        # release when the gripper opens or the object is commanded open
+        # release when the gripper opens or the object is commanded open;
+        # a hooked plug cap stays caught regardless of the gap until the
+        # grip opens
         release = (effort <= 0.0) | (
-            gap_m > 2.0 * scene.obj_grasp_halfwidth + PAD_GAP_INSET + 0.01
+            (gap_m > 2.0 * scene.obj_grasp_halfwidth + PAD_GAP_INSET + 0.01)
+            & (scene.obj_hook_grasp == 0)
         )
         attached = jnp.where(release, 0.0, attached)
         attached = attached * scene.obj_exists * scene.obj_graspable
 
         # while attached: the object settles INTO the grip — its GRASP POINT
-        # (COM + obj_grasp_off) centers between the pads in xy and slides UP
-        # toward the canonical grip height (grasp point -> tcp + 0.006), never
-        # down (squeezing can only raise a gripped object)
+        # (COM + obj_grasp_off) centers between the pads in xy and slides
+        # toward the canonical grip height (grasp point -> tcp + 0.006).
+        # Upward settling (squeeze raises a low grab) is fast and applies
+        # to everything. Downward settling (gravity wedging a high grab
+        # down between the fingers) applies to SPHERES only — a ball slips
+        # to the finger waist (golden basketball carries ride ~12 mm above
+        # the tcp, not at the capture offset), while a squeezed prism/rod
+        # holds its grab height (lowering a carried peg shifts the
+        # scripted policies' branch conditions and deadlocks their lift
+        # phase).
         settle = 1.0 - jnp.exp(-dt / 0.05)
+        sphere_dn = (scene.obj_type == ObjType.SPHERE).astype(jnp.float32)
+        settle_dn = (1.0 - jnp.exp(-dt / 0.20)) * sphere_dn
         target_xy = -scene.obj_grasp_off[:, :2]
         off_xy = target_xy + (attach_off[:, :2] - target_xy) * (1.0 - settle)
         canon_z = 0.006 - scene.obj_grasp_off[:, 2]
         off_z = attach_off[:, 2]
-        off_z = jnp.where(off_z < canon_z, off_z + (canon_z - off_z) * settle, off_z)
+        off_z = jnp.where(
+            off_z < canon_z,
+            off_z + (canon_z - off_z) * settle,
+            off_z + (canon_z - off_z) * settle_dn,
+        )
         settled = jnp.concatenate([off_xy, off_z[:, None]], axis=1)
         attach_off = jnp.where(attached[:, None] > 0, settled, attach_off)
 
@@ -398,14 +508,14 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         for kin in (left, right):
             kin_c = kin  # pad box center already at tcp + PAD_Z_OFFSET
 
-            def push_one(p, v, radius, half_h, blend, otype):
+            def push_one(p, v, radius, half_x, half_h, blend, otype):
                 # flat objects (pucks/plates/boxes): AABB-vs-AABB, push out
                 # along the least-penetration axis. round objects (balls):
                 # sphere-vs-box so grazing contacts deflect instead of
                 # slamming along an axis. friction drags the object
                 # tangentially with the pad (the reference's high-friction
                 # pads slide plates around this way).
-                obj_half = jnp.stack([radius, radius, half_h])
+                obj_half = jnp.stack([half_x, radius, half_h])
                 d = p - kin_c
                 pen_box = (pad_half + obj_half) - jnp.abs(d)
                 hit_box = jnp.all(pen_box > 0.0)
@@ -444,8 +554,8 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 return p, v, depth
 
             p2, v2, depth2 = jax.vmap(push_one)(
-                pos, vel, scene.obj_radius, scene.obj_half_h, blend_by_type,
-                scene.obj_type,
+                pos, vel, scene.obj_radius, scene.obj_half_x, scene.obj_half_h,
+                blend_by_type, scene.obj_type,
             )
             free = (sim.attached == 0) & (scene.obj_exists > 0) & ~pinned_anchor
             pos = jnp.where(free[:, None], p2, pos)
@@ -515,7 +625,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             v = v * (_EXY * xy_scale) + _EZ * vz_new
             return p, v
 
-        frics = _FRICTION_DEFAULT * (1.0 - scene.obj_planar)
+        frics = scene.obj_friction * (1.0 - scene.obj_planar)
         pos_g, vel_g = jax.vmap(ground_one)(pos, vel, scene.obj_half_h, frics)
         pos = jnp.where(free[:, None], pos_g, pos)
         vel = jnp.where(free[:, None], vel_g, vel)
@@ -557,6 +667,39 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         off_z_new = jnp.where(pinned, att_z - new_hand[2], attach_off[:, 2])
         attach_off = attach_off * (1.0 - ezc) + ezc * off_z_new[:, None]
         att_pos = att_pos * (1.0 - ezc) + ezc * att_z[:, None]
+        # carried objects still collide with the static scene: a gripped
+        # ball striking the basket pole (or a carried block hitting a
+        # shelf lip) stops BOTH the object and the hand — the grip is
+        # rigid and the weld yields (golden basketball traces: the
+        # carrying hand stalls at the hoop while the mocap marches on).
+        # The object and hand shift together, so attach_off is unchanged.
+        # Exception — SHALLOW walls deflect the drag upward instead of
+        # deadlocking it: the weld's push tilts a dragged lid into a climb
+        # over the lip (golden box-close: the lid rides +5 cm up the box
+        # wall over ~10 control steps while the hand keeps advancing).
+        # Climb only when the contact is lateral and the top escape is
+        # within the climb window; the rise is capped per substep and goes
+        # into attach_off (the object slips UP in the grip — a wall cannot
+        # lift the arm).
+        def climb_one(p, r):
+            def one(bp, bs, ex):
+                _, n, pen = _sphere_box_pushout(p, r, bp, bs)
+                pen_up = (bp[2] + bs[2] + r) - p[2]
+                lateral = jnp.abs(n[2]) < 0.5
+                ok = (
+                    (ex > 0) & lateral & (pen > 1e-6)
+                    & (pen_up > 0.0) & (pen_up < 0.045)
+                )
+                return jnp.where(ok, jnp.minimum(pen_up, 0.0015), 0.0)
+            return jnp.max(jax.vmap(one)(box_pos, box_size, scene.static_exists))
+
+        climb = jax.vmap(climb_one)(att_pos, scene.obj_radius) * attached
+        att_pos = att_pos.at[:, 2].add(climb)
+        attach_off = attach_off.at[:, 2].add(climb)
+        corr_att = jax.vmap(box_contacts)(att_pos, scene.obj_radius)
+        corr_att = corr_att * (attached > 0)[:, None]
+        att_pos = att_pos + corr_att
+        new_hand = new_hand + jnp.sum(corr_att, axis=0)
         pos = jnp.where((attached > 0)[:, None], att_pos, pos)
         vel = jnp.where((attached > 0)[:, None], hand_vel[None, :], vel)
 
@@ -676,17 +819,62 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         lever = jnp.where(is_hinge_j, _norm(arm_perp, axis=1), 1.0)
         lever = jnp.maximum(lever, 1e-6)
 
-        # hook: gripper closes near a hookable handle -> joint follows hand
+        # hook: the closed claw ENCIRCLES a hookable handle knob. Engage when
+        # the knob sits in the claw's capture volume — pads straddle it in
+        # xy (55 mm reach: pad footprint + knob radius), knob height within
+        # the finger span (golden drag offsets: dial grabs 46 mm BELOW the
+        # tcp, lever up to +130 mm above — the claw wraps different heights
+        # of different handles). The joint then follows the claw's
+        # fixture-inverse coordinate WITH the offset captured at engagement
+        # (q - inverse), so hooking never teleports the handle to the hand.
         tcp_mid = new_hand + jnp.array([0.0, 0.0, PAD_Z_OFFSET * 0.6])
-        d_handle = _norm(handle - tcp_mid[None, :], axis=1)
+        rel_h = handle - new_hand[None, :]
+        d_xy = _norm(rel_h[:, :2], axis=1)
+        d_z = rel_h[:, 2]
+        in_claw = (d_xy < 0.055) & (d_z > -0.06) & (d_z < 0.10)
+        q_inv = fixture_inverse(scene, sim.fixture_pos, tcp_mid)
+        # engagement additionally requires the claw's fixture-inverse
+        # coordinate to MATCH the joint within the claw's physical play —
+        # a claw descending toward a handle bar passes through the volume
+        # gate well before the mouth is actually on the bar, and a hook
+        # captured there would freeze a premature offset into the whole
+        # drag (handle-pull then lifts the claw through its play without
+        # ever moving the handle)
+        off_cap = jnp.where(scene.joint_type == JointType.HINGE, 0.15, 0.02)
+        dq_cap = q - q_inv
+        dq_cap = jnp.where(
+            scene.joint_type == JointType.HINGE,
+            jnp.mod(dq_cap + jnp.pi, 2.0 * jnp.pi) - jnp.pi,
+            dq_cap,
+        )
         hook_now = (
             (scene.joint_hookable > 0)
-            & (d_handle < _HOOK_RADIUS)
+            & in_claw
+            & (jnp.abs(dq_cap) <= off_cap)
             & (effort > 0.0)
             & (gripper < 0.9)
         )
+        newly_hooked = hook_now & (sim.hooked == 0)
+        hook_off = jnp.where(newly_hooked, dq_cap, sim.hook_off)
         hooked = jnp.where(hook_now, 1.0, sim.hooked)
-        unhook = (effort <= 0.0) | (d_handle > 0.12)
+        # a squeezed handle WEDGES toward the grip center (the pads pinch
+        # below the bar's equator and extrude it up the claw — golden
+        # handle-pull traces show the bar rising ~1.5 mm/step while the
+        # hand holds still and the grip closes): the captured offset
+        # decays while hooked with the grip driving closed. The squirt is
+        # VERTICAL (up the claw mouth), so it moves the joint only to the
+        # extent its motion direction is vertical — a faucet knob orbiting
+        # in the horizontal plane must not creep azimuthally.
+        vert = jnp.abs(fixture_motion_dir(scene, sim.fixture_pos, q)[:, 2])
+        wedge = jnp.where(
+            (effort > 0.0) & (hooked > 0),
+            (1.0 - jnp.exp(-dt / 0.15)) * vert,
+            0.0,
+        )
+        hook_off = hook_off * (1.0 - wedge)
+        # release is looser than capture: the contact point slides along the
+        # handle during a drag (lever swings to +130 mm above the tcp)
+        unhook = (effort <= 0.0) | (d_xy > 0.12) | (d_z < -0.15) | (d_z > 0.2)
         hooked = jnp.where(unhook, 0.0, hooked) * scene.joint_exists
 
         # press: gripper parts push the handle KINEMATICALLY — the contact
@@ -770,18 +958,19 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             # far-side gate: > one radius past the center is a ghost contact
             live = in_face & (pen > 0.0) & (side * u > -r_sum)
             # a kinematic contact cannot push the handle farther than the
-            # part itself moved ALONG THE MOTION AXIS this substep
-            # (+0.5 mm settle slack): a part that ENTERS the face footprint
-            # laterally (in_face flips on with u already small) must shove
-            # at its own approach speed, not project the full overlap depth
-            # in one substep — uncapped, a graze slams hinged doors to
-            # their range stop. The cap must be the motion-axis COMPONENT:
-            # funding it from the total move lets a hand sliding along a
-            # stopped face convert its tangential speed into a phantom
-            # press, whose stop residual then Coulomb-pins the hand frozen.
-            move_cap = jnp.abs(
-                jnp.sum((center - center_prev)[None, :] * motion, axis=1)
-            ) + 0.0005
+            # part itself moved TOWARD THE FACE this substep (+0.5 mm settle
+            # slack): a part that ENTERS the face footprint laterally
+            # (in_face flips on with u already small) must shove at its own
+            # approach speed, not project the full overlap depth in one
+            # substep — uncapped, a graze slams hinged doors to their range
+            # stop. The cap must be the APPROACH component (-side * du):
+            # funding it from the total or receding motion lets a part that
+            # still overlaps while moving AWAY keep pressing at full speed —
+            # an open claw straddling a drawer bar then has its retreating
+            # knuckle press the drawer closed exactly as fast as the pad
+            # drags it open, deadlocking the joint at q=0.
+            du = jnp.sum((center - center_prev)[None, :] * motion, axis=1)
+            move_cap = jnp.maximum(-side * du, 0.0) + 0.0005
             pen = jnp.minimum(pen, move_cap)
             # part on the +motion side (side +) is pushed away by -q motion
             dq_p = weight * jnp.where(live, -side * pen, 0.0) / lv
@@ -815,27 +1004,36 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             u_prev = jnp.sum((center_prev[None, :] - pt) * motion, axis=1)
             side = jnp.where(jnp.abs(u_prev) > 1e-9, jnp.sign(u_prev), jnp.sign(u))
             side = jnp.where(side == 0.0, 1.0, side)
-            lat = d3 - u[:, None] * motion
             h_m = jnp.sum(half[None, :] * jnp.abs(motion), axis=1)
-            # lateral reach of the press geometry: bar cross-section radius,
-            # or the disc's lateral face radius
+            # lateral gate: clamp the face point into the box to find the
+            # box-surface gap, then require its component PERPENDICULAR to
+            # the motion axis to be within the press geometry's lateral
+            # reach (bar cross-section radius, or the disc's face radius).
+            # The exact closest-point form is required for diagonal motion
+            # axes (door-lock's lever slides along (-0.55, 0, -0.84)): the
+            # old per-axis |lat|*(1-|m|) <= half+r heuristic down-weighted
+            # the lateral offset on partially-motion axes, letting a pad
+            # 11 cm from the lock face register a phantom press whose
+            # range-stop residual then Coulomb-froze the hand.
+            rel = pt - center[None, :]
+            closest = jnp.clip(rel, -half[None, :], half[None, :])
+            gap_vec = rel - closest
+            gap_lat = gap_vec - jnp.sum(
+                gap_vec * motion, axis=1, keepdims=True
+            ) * motion
             lat_r = jnp.where(
                 has_bar, scene.joint_handle_radius, scene.joint_face_radius
             )
-            lat_lim = half[None, :] + lat_r[:, None]
-            lat_ok = jnp.all(
-                jnp.abs(lat) * (1.0 - jnp.abs(motion)) <= lat_lim, axis=1
-            )
+            lat_ok = _norm(gap_lat, axis=1) <= lat_r
             depth = h_m + scene.joint_handle_radius
             live = lat_ok & (side * u > -depth)
             if bar_only:
                 live = live & has_bar
             pen = depth - side * u
             live = live & (pen > 0.0)
-            # same motion-axis lateral-entry cap as sphere_part
-            pen = jnp.minimum(pen, jnp.abs(
-                jnp.sum((center - center_prev)[None, :] * motion, axis=1)
-            ) + 0.0005)
+            # same approach-gated lateral-entry cap as sphere_part
+            du = jnp.sum((center - center_prev)[None, :] * motion, axis=1)
+            pen = jnp.minimum(pen, jnp.maximum(-side * du, 0.0) + 0.0005)
             dq_p = weight * jnp.where(live, -side * pen, 0.0) / lever
             return dq_p, *_vel_bounds(live, side, center, center_prev, lever, weight)
 
@@ -866,10 +1064,15 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # edges lift/press handle bars, the x-z front face pushes side
         # buttons when the claw is open (plates straddle the void the
         # gated tip vacates), and the inner faces catch a drawer bar and
-        # drag it (the reference's open-claw drawer hook)
+        # drag it (the reference's open-claw drawer hook). Press positions
+        # are the UPDATED pads (new hand + new gripper) against the substep
+        # start — the approach cap above needs the true pad motion, else a
+        # dragging pad reads as static and can only shove at the 0.5 mm
+        # settle slack.
         _PLATE_HALF = jnp.array([0.015, 0.0045, 0.045])
-        parts.append(box_part(left, left_prev, _PLATE_HALF))
-        parts.append(box_part(right, right_prev, _PLATE_HALF))
+        left_press, right_press = pad_kinematics(new_hand, gripper)
+        parts.append(box_part(left_press, left_prev, _PLATE_HALF))
+        parts.append(box_part(right_press, right_prev, _PLATE_HALF))
         # held tools strike fixture handles too (hammer head -> nail)
         for i in range(pos.shape[0]):
             tool_i = pos[i] + maths.quat_rotate(quat[i], scene.obj_tool_off[i])
@@ -881,9 +1084,16 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # panel hinges (doors): press contacts act anywhere along the
         # pivot->handle span, sampled at a few stations (each with its own
         # lever radius)
+        # the panel plane is the pivot->handle line ROTATED about the pivot
+        # by the handle's stick-out: the door handle protrudes 0.12 from
+        # the panel face (ref doorlockB.xml:17-21), so the panel point at
+        # fraction f of the span sits f*panel_off along +motion off the
+        # raw line. Stations on the raw line would wall off the free space
+        # the claw crosses to reach the handle (door-open froze there).
         pivot_w = sim.fixture_pos[None, :] + scene.joint_anchor
+        panel_shift = scene.joint_panel_off[:, None] * motion
         for frac in (0.45, 0.65, 0.85):
-            station = pivot_w + frac * (handle - pivot_w)
+            station = pivot_w + frac * (handle - pivot_w + panel_shift)
             st_lever = jnp.maximum(lever * frac, 1e-6)
             for center, center_prev, r_part in (
                 (new_hand, sim.hand, 0.012),
@@ -900,14 +1110,33 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             jnp.max(jnp.maximum(dq_parts, 0.0), axis=0)
             + jnp.min(jnp.minimum(dq_parts, 0.0), axis=0)
         )
+        # grab suppression: a claw straddling a HOOKABLE handle with the
+        # grip closing is wrapping it, not pressing it — the reference claw
+        # descends fully around these bars (handle-pull golden traces put
+        # the tcp 4 cm below the bar top before lifting), so the press
+        # projection and its hand backoff must yield inside the capture
+        # volume or the claw can never reach the hook-engagement pose
+        grabbing = (scene.joint_hookable > 0) & in_claw & (effort > 0.0)
+        dq = jnp.where(grabbing, 0.0, dq)
+        qv_hi = jnp.where(grabbing, _BIG_QV, qv_hi)
+        qv_lo = jnp.where(grabbing, -_BIG_QV, qv_lo)
         # rate-cap the contact push (4 handle-m/s) so a deep overlap after
         # a reset or teleport cannot snap the joint in one substep
         dq = jnp.clip(dq, -4.0 * dt / lever, 4.0 * dt / lever)
 
-        # hooked: the grasped handle moves rigidly with the hand (rate-capped
-        # at 4 m/s so a teleporting target cannot snap the joint)
-        q_target = fixture_inverse(scene, sim.fixture_pos, tcp_mid)
-        q_hooked = q + jnp.clip(q_target - q, -4.0 * dt, 4.0 * dt)
+        # hooked: the grasped handle moves rigidly with the hand at the
+        # hook-time offset (rate-capped at 4 m/s so a teleporting target
+        # cannot snap the joint). Hinge targets wrap: fixture_inverse is
+        # atan2-periodic, so an orbit crossing the +-pi seam must take the
+        # short way round, not a 2*pi snap.
+        q_target = fixture_inverse(scene, sim.fixture_pos, tcp_mid) + hook_off
+        dq_hook = q_target - q
+        dq_hook = jnp.where(
+            scene.joint_type == JointType.HINGE,
+            jnp.mod(dq_hook + jnp.pi, 2.0 * jnp.pi) - jnp.pi,
+            dq_hook,
+        )
+        q_hooked = q + jnp.clip(dq_hook, -4.0 * dt, 4.0 * dt)
         q_want = q_free + dq
         q_new = jnp.where(hooked > 0, q_hooked, q_want)
         q_new = jnp.clip(q_new, scene.joint_range[:, 0], scene.joint_range[:, 1])
@@ -948,6 +1177,16 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             bo_n > 1e-9, bt_allow / jnp.maximum(bt_mag, 1e-9), 1.0
         )
         new_hand = sim.hand + dv_bn + dv_bt * scale_bt
+        # table support under the claw: the reference's fingertip geoms
+        # bottom out on the table (or pit floor) at tcp ~ support - 0.01
+        # (golden-trace tcp minima: -0.009..+0.002 across the solid-table
+        # scenes) — without this the open-loop hand dives through the
+        # table whenever the recorded policy keeps pressing down. A pure
+        # z-projection (no Coulomb pin): the reference slides the pressed
+        # claw laterally (sweep/push press-and-drag), so table contact
+        # must not freeze xy.
+        tbl = _support_z(scene, new_hand[:2]) - 0.010
+        new_hand = new_hand.at[2].set(jnp.maximum(new_hand[2], tbl))
         hand_vel = (new_hand - sim.hand) / dt
         qv = (q_new - q) / dt
         # inelastic press contacts: a COASTING fixture that catches a live
@@ -991,6 +1230,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             attach_off=attach_off,
             unanchored=unanchored,
             hooked=hooked,
+            hook_off=hook_off,
             pad_force_l=pad_f_l,
             pad_force_r=pad_f_r,
             pad_l=pad_l_new,

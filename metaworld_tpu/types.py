@@ -77,6 +77,9 @@ class SceneParams:
     obj_exists: jnp.ndarray      # (MAX_OBJ,) 0/1
     obj_type: jnp.ndarray        # (MAX_OBJ,) ObjType
     obj_radius: jnp.ndarray      # (MAX_OBJ,) horizontal contact radius
+    obj_half_x: jnp.ndarray      # (MAX_OBJ,) x half-extent for the pad-contact
+                                 # AABB (rods like the stick are long along x;
+                                 # resolved to radius at build time when equal)
     obj_half_h: jnp.ndarray      # (MAX_OBJ,) COM height above support when resting
     obj_mass: jnp.ndarray        # (MAX_OBJ,)
     obj_graspable: jnp.ndarray   # (MAX_OBJ,) 0/1 — can be caged by the pads
@@ -99,6 +102,12 @@ class SceneParams:
                                  # no free joint, no lift, viscous joint damping
                                  # instead of Coulomb ground friction
     obj_lin_damping: jnp.ndarray # (MAX_OBJ,) planar slide joint damping (N·s/m)
+    obj_friction: jnp.ndarray    # (MAX_OBJ,) sliding Coulomb coefficient on the
+                                 # support (MuJoCo default 1.0; most of our
+                                 # pucks calibrate at 0.55)
+    obj_hook_grasp: jnp.ndarray  # (MAX_OBJ,) 0/1 — plug-cap hook: attaches when
+                                 # caged with the grip driving closed, without
+                                 # squeeze contact (peg-unplug's mushroom cap)
     link_enable: jnp.ndarray     # () 0/1 — obj0's tool point can hook obj1
     link_handle_off: jnp.ndarray # (3,) hook point rel. obj1 COM
 
@@ -133,6 +142,10 @@ class SceneParams:
                                  # joint_face_radius along this axis (handle
                                  # levers, drawer handles)
     joint_hookable: jnp.ndarray  # (MAX_JOINT,) 0/1 — gripper can close around handle and pull
+    joint_panel_off: jnp.ndarray # (MAX_JOINT,) panel plane offset from the
+                                 # pivot->handle line along +motion (the door
+                                 # handle sticks 0.12 out from the panel, ref
+                                 # doorlockB.xml:17-21)
     joint_panel: jnp.ndarray     # (MAX_JOINT,) 0/1 — hinge carries a panel: press
                                  # contacts act along the pivot->handle span (doors)
 
@@ -149,7 +162,10 @@ class SceneParams:
     # --- table topology (holes / pits: table_with_hole, pick_out_of_hole) ---
     hole_center: jnp.ndarray     # (2,) xy
     hole_halfsize: jnp.ndarray   # (2,) xy half extent, 0 = no hole
-    pit_depth: jnp.ndarray       # () support z inside the hole = TABLE_Z - pit_depth
+    pit_depth: jnp.ndarray       # () support z inside the hole = table_z - pit_depth
+    table_z: jnp.ndarray         # () support surface height (basic_scene_b's
+                                 # tabletop sits at +0.05, not 0 — ref
+                                 # assets/scene/basic_scene_b.xml:33-37)
 
     # --- mocap clamp (per-task hand_low/high, ref env __init__ kwargs) ---
     mocap_low: jnp.ndarray       # (3,)
@@ -178,6 +194,10 @@ class SimState:
     unanchored: jnp.ndarray   # (MAX_OBJ,) 0/1 latch — anchored object freed by
                               # its first grasp
     hooked: jnp.ndarray       # (MAX_JOINT,) 0/1 — gripper hooked on fixture handle
+    hook_off: jnp.ndarray     # (MAX_JOINT,) joint-coordinate offset captured at
+                              # hook engagement (q - fixture_inverse(claw)); the
+                              # hooked joint follows the claw WITH this offset,
+                              # so engaging never teleports the handle
     pad_force_l: jnp.ndarray  # () left pad normal force on main object
     pad_force_r: jnp.ndarray  # () right pad normal force on main object
     pad_l: jnp.ndarray        # (3,) left pad box center (world) — real state so
