@@ -280,6 +280,7 @@ def base_sim_state(spec: TaskSpec) -> SimState:
         unanchored=z(MAX_OBJ),
         hooked=z(MAX_JOINT),
         hook_off=z(MAX_JOINT),
+        hook_hoff=z((MAX_JOINT, 3)),
         pad_force_l=z(()),
         pad_force_r=z(()),
         pad_l=pad_l0,

@@ -47,6 +47,9 @@ class FreeObj:
     droop: float = 0.0  # equilibrium in-grip pitch about the pad axis (rad)
     planar: bool = False  # 2-dof slide body in the reference: no lift, no gravity
     lin_damping: float = 0.0  # planar slide joint damping (N·s/m)
+    xy_range: tuple = ()    # absolute world (lo_x, lo_y, hi_x, hi_y) soft
+                            # slide-joint limits (plate-slide puck: 2 limited
+                            # slides, ref objects/assets/puck.xml); () = free
     friction: float = 0.55  # sliding Coulomb coefficient on the support
                             # (MuJoCo's default mu is 1.0 — e.g. the soccer
                             # ball, soccer_dependencies.xml condim=3)
@@ -74,6 +77,10 @@ class FixtureJoint:
     face_dir: tuple = (0.0, 0.0, 0.0)  # bar axis: zero = disc face; set = capsule
                                        # (radius handle_radius, half-len face_radius)
     hookable: bool = False             # gripper can close on handle and pull
+    hook_carry: bool = False           # the handle only RESTS on the claw (a
+                                       # ball too big for the mouth): the hook
+                                       # transmits +q lifts only, never drags
+                                       # the joint back down
     panel: bool = False                # hinge carries a panel (press along the arm span)
     panel_off: float = 0.0             # panel plane offset from the pivot->handle
                                        # line along +motion (door handles stick out
@@ -131,6 +138,9 @@ def build_scene(
         obj_planar=pad([float(x.planar) for x in o], MAX_OBJ).astype(f),
         obj_lin_damping=pad([x.lin_damping for x in o], MAX_OBJ).astype(f),
         obj_friction=pad([x.friction for x in o], MAX_OBJ).astype(f),
+        obj_xy_limited=pad([float(bool(x.xy_range)) for x in o], MAX_OBJ).astype(f),
+        obj_xy_lo=pad([(x.xy_range[:2] if x.xy_range else (0.0, 0.0)) for x in o], MAX_OBJ, 2).astype(f),
+        obj_xy_hi=pad([(x.xy_range[2:] if x.xy_range else (0.0, 0.0)) for x in o], MAX_OBJ, 2).astype(f),
         obj_hook_grasp=pad([float(x.hook_grasp) for x in o], MAX_OBJ).astype(f),
         link_enable=np.asarray(float(link_enable), dtype=f),
         link_handle_off=np.asarray(link_handle_off, dtype=f),
@@ -154,6 +164,7 @@ def build_scene(
         joint_press_off=pad([x.press_off for x in j], MAX_JOINT, 3).astype(f),
         joint_face_dir=pad([x.face_dir for x in j], MAX_JOINT, 3).astype(f),
         joint_hookable=pad([float(x.hookable) for x in j], MAX_JOINT).astype(f),
+        joint_hook_carry=pad([float(x.hook_carry) for x in j], MAX_JOINT).astype(f),
         joint_panel=pad([float(x.panel) for x in j], MAX_JOINT).astype(f),
         joint_panel_off=pad([x.panel_off for x in j], MAX_JOINT).astype(f),
         static_exists=pad([1.0] * len(b), MAX_STATIC).astype(f),

@@ -90,7 +90,22 @@ def make_faucet_spec(name, task_id, obj_low, obj_high, ccw: bool, obj_offset,
             axis=(0.0, 0.0, 1.0) if ccw else (0.0, 0.0, -1.0),
             anchor=(0.0, 0.0, 0.0),
             arm=(arm_x, -0.175, 0.114),
-            range=(-0.2, 2.0), damping=2.0, inertia=0.15, handle_radius=0.035,
+            range=(-0.2, 2.0), damping=2.0, inertia=0.15,
+            # the handle is a radial capsule bar (faucet.xml:14: r 0.017,
+            # half-len 0.055 centered 0.12 from the pivot): face_dir along
+            # the arm makes it a SOLID bar the claw rests on after release
+            # (golden traces: the tcp parks at bar-radius standoff above
+            # the arm) and lets presses land anywhere along it
+            handle_radius=0.017,
+            face_dir=tuple(
+                (np.array([arm_x, -0.175, 0.0])
+                 / np.linalg.norm([arm_x, -0.175, 0.0])).tolist()
+            ),
+            face_radius=0.055,
+            press_off=tuple(
+                (-0.055 * np.array([arm_x, -0.175, 0.0])
+                 / np.linalg.norm([arm_x, -0.175, 0.0])).tolist()
+            ),
             # the reference claw closes AROUND the handle knob and orbits the
             # column dragging it (sawyer_faucet_open_v3.py policy path) — a
             # hook, not a press: the scripted grab point is ~35 mm from the

@@ -93,10 +93,20 @@ def make_spec(task_id: int) -> TaskSpec:
         ],
         joints=[FixtureJoint(
             kind=JointType.HINGE, axis=(-1.0, 0.0, 0.0), anchor=_PIVOT, arm=_ARM,
-            range=(-0.7, 1.8), damping=3.0, inertia=0.5, bias=-0.8,
-            # the claw wraps the lever ball (up to +130 mm above the tcp
-            # while swinging it up in the golden traces) — hook semantics
-            handle_radius=0.045, hookable=True,
+            # compiled truth (scripts/compiled_truth.py, LeverAxis):
+            # M+armature 0.002, damping 2.0, subtree mass 0.004 — a feather
+            # on a damper. The declared MJCF limit [0, 1.57] YIELDS to the
+            # weld in the reference (golden trace: the recorded handle
+            # sweeps to q ~ 3.1 under the hand, is pushed past the top,
+            # and ends parked at q ~ 5.2 below the far side of the pivot),
+            # so the model range here is the PHYSICAL travel, with the
+            # hard lower stop the lever rests on.
+            range=(0.0, 5.9), damping=2.0, inertia=0.002,
+            mass=0.004, com=(-0.006, -0.073, 0.0),
+            # the ball (objGeom r ~0.03) rides the claw/rail assembly; the
+            # hook models that carry (with the engine's descent gate so a
+            # re-approaching hand falling onto the ball does not wrap it)
+            handle_radius=0.045, hookable=True, hook_carry=True,
         )],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

@@ -25,7 +25,7 @@ def make_spec(task_id: int) -> TaskSpec:
         hand_init_pos=np.array([0.0, 0.6, 0.2]),
         goal_low=np.array([-0.1, 0.6, 0.015]),
         goal_high=np.array([0.1, 0.6, 0.015]),
-        reset_fn=make_puck_reset((0.0, 0.75, 0.015)),
+        reset_fn=make_puck_reset((0.0, 0.75, 0.015), cabinet=(0.0, 0.85, 0.0)),
         reward_fn=staged_puck_reward,
         n_obs_obj=1,
     )

@@ -19,13 +19,13 @@ def make_spec(task_id: int) -> TaskSpec:
     return TaskSpec(
         name="plate-slide-side-v3",
         task_id=task_id,
-        scene=make_puck_scene(),
+        scene=make_puck_scene(sideways=True),
         rand_low=np.array([0.0, 0.6, 0.0, -0.3, 0.54, 0.0]),
         rand_high=np.array([0.0, 0.6, 0.0, -0.25, 0.66, 0.0]),
         hand_init_pos=np.array([0.0, 0.6, 0.2]),
         goal_low=np.array([-0.3, 0.54, 0.0]),
         goal_high=np.array([-0.25, 0.66, 0.0]),
-        reset_fn=make_puck_reset((0.0, 0.6, 0.015)),
+        reset_fn=make_puck_reset((0.0, 0.6, 0.015), cabinet=(-0.3, 0.6, 0.0)),
         reward_fn=staged_puck_reward,
         n_obs_obj=1,
     )

@@ -13,25 +13,62 @@ import numpy as np
 
 from metaworld_tpu.envs import registry
 from metaworld_tpu.envs.core import TaskSpec
-from metaworld_tpu.envs.scene_builder import FreeObj, build_scene
+from metaworld_tpu.envs.scene_builder import FreeObj, StaticBox, build_scene
 from metaworld_tpu.envs.tasks import common
 from metaworld_tpu.rewards import utils as reward_utils
 
 
-def make_puck_scene():
+def _cabinet_boxes(sideways: bool):
+    """Goal-net collision (ref objects/assets/puck_goal.xml): back wall
+    (net + rail at local y ~0.077), two side walls (rails at x +-0.105),
+    and the thin front top lip bar (local (0, -0.0685, 0.174), r 0.008) —
+    the top is otherwise open netting. `sideways` bakes the scene euler
+    z=1.57 (local (x, y) -> world (-y, x)); centers are rel_fixture."""
+    local = [
+        ((0.0, 0.082, 0.06), (0.11, 0.006, 0.06)),     # back wall
+        ((0.105, 0.0, 0.06), (0.006, 0.082, 0.06)),    # side
+        ((-0.105, 0.0, 0.06), (0.006, 0.082, 0.06)),   # side
+        ((0.0, -0.0685, 0.174), (0.105, 0.01, 0.012)),  # front top lip
+    ]
+    out = []
+    for (cx, cy, cz), (hx, hy, hz) in local:
+        if sideways:
+            cx, cy, hx, hy = -cy, cx, hy, hx
+        out.append(StaticBox(pos=(cx, cy, cz), size=(hx, hy, hz),
+                             rel_fixture=True, blocks_hand=True))
+    return out
+
+
+def make_puck_scene(sideways: bool = False):
     return build_scene(
-        objs=[FreeObj(radius=0.05, half_h=0.015, graspable=False, mass=0.3)],
+        # the puck is a BOX on two LIMITED slide joints, channel at
+        # (0, 0.6): world x in [-0.2, 0.2], y in [0.6, 0.9] (ref
+        # objects/assets/puck.xml:5-6; both scenes' puck_channel bodies
+        # are unrotated). The stops are what cap every sweep.
+        objs=[FreeObj(radius=0.05, half_h=0.015, graspable=False, mass=0.3,
+                      xy_range=(-0.2, 0.6, 0.2, 0.9))],
+        boxes=_cabinet_boxes(sideways),
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )
 
 
-def make_puck_reset(puck_start):
+def make_puck_reset(puck_start, cabinet=None):
+    """`cabinet`: None -> the cabinet body follows the goal (plate-slide's
+    reset writes model.body("puck_goal").pos, ref
+    sawyer_plate_slide_v3.py:118). The side/back variants instead write
+    data.body(...).xpos (ref sawyer_plate_slide_side_v3.py:114) — a no-op
+    that mj_forward overwrites — so THEIR cabinet stays at the scene XML
+    position; pass that constant (confirmed by the golden traces: the
+    sideways puck stops on the rail plane of the XML spot, not the goal)."""
+    cab = None if cabinet is None else jnp.asarray(cabinet)
+
     def _reset(spec: TaskSpec, rand, rng):
         return dict(
             obj_pos=common.pad_obj_pos(jnp.asarray(puck_start)),
             obj_init_pos=common.pad_obj_pos(rand[:3]),
             target=rand[3:6],
+            fixture_pos=rand[3:6] if cab is None else cab,
         )
     return _reset
 

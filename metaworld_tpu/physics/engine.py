@@ -127,7 +127,14 @@ _HAND_TIP_R = 0.005      # fingertip sphere vs static geometry
 _HAND_KNUCKLE_R = 0.03   # knuckle block sphere vs static geometry
 _PAD_TIP_BEVEL = 0.008   # fingertip taper: grazing edge landings within this
                          # horizontal overlap wedge off the vertical face
+_WELD_K = 600.0          # effective weld+arm stiffness (N per m of tcp-target
+                         # stretch) driving loaded fixtures — fit on the golden
+                         # lever/faucet/dial stretch-vs-speed balance
+_HOOK_SLIP = 0.13        # weld stretch perpendicular to the joint's motion at
+                         # which the squeezed wrap slips off the handle
 _FRICTION_DEFAULT = 0.55
+_K_SLIDE_LIM = 400.0     # soft slide-limit spring (1/s^2, mass-normalized)
+_D_SLIDE_LIM = 30.0      # extra damping outside a slide range (1/s)
 _GRASP_XZ_TOL = 0.035    # max horizontal tcp-to-object distance for a grasp
 _GRASP_Z_SPAN = 0.09     # pads (vertical plates) span tcp .. tcp+0.09 in z
 _HOOK_RADIUS = 0.045     # tcp-to-handle distance to hook a hookable fixture
@@ -501,6 +508,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         left, right = pad_kinematics(sim.hand, sim.gripper)
         pad_half = jnp.array([0.015, 0.0045, 0.045])
         pad_push_depth = []  # per pad: (MAX_OBJ,) contact penetration
+        pad_side_hit = []    # per pad: (MAX_OBJ,) bool, horizontal-normal contact
         # tangential stick per substep while in contact: flat objects (pucks,
         # plates, boxes) are dragged by the high-friction pads; spheres roll
         # instead of sticking
@@ -550,10 +558,20 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 v = v + boost * n
                 dv = hand_vel - v
                 dv_t = dv - n * jnp.dot(dv, n)
-                v = v + jnp.where(hit, blend, 0.0) * dv_t
-                return p, v, depth
+                # a pad pressing DOWN on a flat object's top face drags it
+                # at essentially hand speed — the weld supplies the normal
+                # force and the pads' friction 2 pins the surface (golden
+                # plate-slide-back: the puck trails the sweeping claw by a
+                # constant ~30 mm for 400 steps). Side pushes keep the
+                # calibrated partial drag.
+                blend_eff = jnp.where(
+                    (~is_sphere) & (jnp.abs(n[2]) > 0.7), 0.8, blend
+                )
+                v = v + jnp.where(hit, blend_eff, 0.0) * dv_t
+                side_hit = hit & (jnp.abs(n[2]) < 0.7)
+                return p, v, depth, side_hit
 
-            p2, v2, depth2 = jax.vmap(push_one)(
+            p2, v2, depth2, side2 = jax.vmap(push_one)(
                 pos, vel, scene.obj_radius, scene.obj_half_x, scene.obj_half_h,
                 blend_by_type, scene.obj_type,
             )
@@ -561,6 +579,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             pos = jnp.where(free[:, None], p2, pos)
             vel = jnp.where(free[:, None], v2, vel)
             pad_push_depth.append(depth2 * scene.obj_exists)
+            pad_side_hit.append(side2 & (scene.obj_exists > 0))
 
         # object-object contact (two-object scenes), symmetric resolution:
         # the separation splits between the bodies by mobility — an
@@ -637,6 +656,69 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         pin_row = (planar & free)[:, None]
         pos = jnp.where(pin_row, pos * _EXY + _EZ * z_pin[:, None], pos)
         vel = jnp.where(pin_row, vel * _EXY, vel)
+
+        # limited slide joints (the plate-slide puck: 2 slides with range
+        # x [-0.2, 0.2], y [0.6, 0.9], ref objects/assets/puck.xml:5-6).
+        # MuJoCo limits are SOFT: the golden plate-slide-side trace holds
+        # the pressed puck ~0.13 past its stop — model a stiff spring plus
+        # heavy damping outside the range, not a hard clamp.
+        viol = (
+            jnp.minimum(pos[:, :2] - scene.obj_xy_lo, 0.0)
+            + jnp.maximum(pos[:, :2] - scene.obj_xy_hi, 0.0)
+        )
+        lim_on = (scene.obj_xy_limited * free)[:, None]
+        # a pad pressing the object's SIDE holds it statically against the
+        # limit spring (direct normal force — golden plate-slide-side parks
+        # the pressed puck 0.13 past its stop); a top-drag carry only
+        # friction-holds and the spring yields it back (back-side golden
+        # oscillates within ~0.04 of the stop)
+        side_held = (pad_side_hit[0] | pad_side_hit[1])[:, None]
+        outside = lim_on * (jnp.abs(viol) > 0.0)
+        vel = vel.at[:, :2].add(
+            -_K_SLIDE_LIM * viol * dt * lim_on * (1.0 - side_held)
+        )
+        vel = vel.at[:, :2].multiply(
+            1.0 - outside * (1.0 - jnp.exp(-_D_SLIDE_LIM * dt))
+        )
+
+        # jam back-reaction: a free object PINNED by walls or slide limits
+        # pushes the HAND back out — in MuJoCo the hand->object->wall chain
+        # is a contact chain and the weld yields (golden plate-slide-side:
+        # the claw parks at the jammed puck's face, never inside it). The
+        # object pushout above resolves the full pad overlap, so any
+        # overlap REMAINING here is exactly the amount the scene pushed
+        # the object back in. Non-graspable objects only: a caged object
+        # legitimately sits between the pads.
+        jam_corr = jnp.zeros(3)
+        for kin_c_j in (left, right):
+            def jam_one(p, half_x, radius, half_h, ex, grasp, att, otype):
+                obj_half = jnp.stack([half_x, radius, half_h])
+                d = kin_c_j - p  # pad rel object: push the HAND outward
+                pen = (pad_half + obj_half) - jnp.abs(d)
+                # spheres excluded: their pushout is a SOFT projection
+                # (frac 0.3) that leaves residual overlap by design
+                hit = (
+                    jnp.all(pen > 0.0) & (ex > 0) & (grasp == 0)
+                    & (att == 0) & (otype != ObjType.SPHERE)
+                )
+                axis = jnp.argmin(pen)
+                hot = (jnp.arange(3) == axis).astype(d.dtype)
+                n = hot * jnp.where(jnp.sum(hot * d) >= 0, 1.0, -1.0)
+                return jnp.where(hit, jnp.sum(hot * pen), 0.0) * n
+            jam_corr = jam_corr + jnp.sum(
+                jax.vmap(jam_one)(pos, scene.obj_half_x, scene.obj_radius,
+                                  scene.obj_half_h, scene.obj_exists,
+                                  scene.obj_graspable, sim.attached,
+                                  scene.obj_type),
+                axis=0,
+            )
+        jc_n = _norm(jam_corr)
+        move_h = _norm(new_hand - sim.hand)
+        jam_corr = jam_corr * jnp.minimum(
+            1.0, (move_h + 0.0005) / jnp.maximum(jc_n, 1e-9)
+        )
+        new_hand = new_hand + jam_corr
+        hand_vel = (new_hand - sim.hand) / dt
 
         # attached objects ride the hand — but never through the table (a
         # dragged puck stays supported; only lifting raises it)
@@ -847,16 +929,42 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             jnp.mod(dq_cap + jnp.pi, 2.0 * jnp.pi) - jnp.pi,
             dq_cap,
         )
+        # engagement hysteresis on the weld's perpendicular stretch: a slip
+        # (below) fires past _HOOK_SLIP, and the claw cannot re-wrap while
+        # the weld still pulls it hard off the handle — without this a
+        # parked mocap far under a slipped lever re-hooks every substep and
+        # the slip never takes effect
+        gap_w = target[None, :] - new_hand[None, :]
+        gap_perp_n = _norm(
+            gap_w - motion * jnp.sum(gap_w * motion, axis=1, keepdims=True),
+            axis=1,
+        )
         hook_now = (
             (scene.joint_hookable > 0)
             & in_claw
             & (jnp.abs(dq_cap) <= off_cap)
             & (effort > 0.0)
             & (gripper < 0.9)
+            & (gap_perp_n < _HOOK_SLIP - 0.03)
         )
         newly_hooked = hook_now & (sim.hooked == 0)
         hook_off = jnp.where(newly_hooked, dq_cap, sim.hook_off)
         hooked = jnp.where(hook_now, 1.0, sim.hooked)
+        # the squeezed wrap is RIGID perpendicular to the joint's motion:
+        # capture the hand-to-handle offset in the joint frame; while
+        # hooked the hand is locked to handle + R(q) . offset there (the
+        # golden faucet/lever traces hold the tcp at a fixed standoff from
+        # the orbiting handle until the grip slips)
+        q_rot_now = jax.vmap(maths.axis_angle_quat)(scene.joint_axis, -q)
+        off_local_now = jax.vmap(maths.quat_rotate)(
+            q_rot_now, new_hand[None, :] - handle
+        )
+        off_local_now = jnp.where(
+            is_hinge_j[:, None], off_local_now, new_hand[None, :] - handle
+        )
+        hook_hoff = jnp.where(
+            newly_hooked[:, None], off_local_now, sim.hook_hoff
+        )
         # a squeezed handle WEDGES toward the grip center (the pads pinch
         # below the bar's equator and extrude it up the claw — golden
         # handle-pull traces show the bar rising ~1.5 mm/step while the
@@ -874,7 +982,21 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         hook_off = hook_off * (1.0 - wedge)
         # release is looser than capture: the contact point slides along the
         # handle during a drag (lever swings to +130 mm above the tcp)
-        unhook = (effort <= 0.0) | (d_xy > 0.12) | (d_z < -0.15) | (d_z > 0.2)
+        # slip: the squeezed grip holds only so much weld pull PERPENDICULAR
+        # to the joint's motion — past the friction budget the claw pops off
+        # the bar (golden faucet: the tcp rides the handle for ~30 steps of
+        # downward mocap drag, then slips under it in 3 steps). The motion-
+        # axis component normally drives the joint instead of loading the
+        # grip, but when the joint is range-pinned it loads the grip too —
+        # the TOTAL-stretch bound covers that (a wrap parked on a range
+        # stop must rip off rather than deadlock the arm).
+        slip = (gap_perp_n > _HOOK_SLIP) | (
+            _norm(gap_w, axis=1) > 2.0 * _HOOK_SLIP
+        )
+        unhook = (
+            (effort <= 0.0) | (d_xy > 0.12) | (d_z < -0.15) | (d_z > 0.2)
+            | slip
+        )
         hooked = jnp.where(unhook, 0.0, hooked) * scene.joint_exists
 
         # press: gripper parts push the handle KINEMATICALLY — the contact
@@ -1073,6 +1195,16 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         left_press, right_press = pad_kinematics(new_hand, gripper)
         parts.append(box_part(left_press, left_prev, _PLATE_HALF))
         parts.append(box_part(right_press, right_prev, _PLATE_HALF))
+        # the RAIL cross-bar above the hand body (ref xyz_base.xml:158:
+        # box half (0.005, 0.055, 0.005) at hand+0.05 = tcp+0.095): wide
+        # in y, it is what carries the lever ball through the late lift —
+        # the golden lever traces move the handle while it sits ~77 mm in
+        # +y of the hand body, beyond every finger part but inside the
+        # rail's reach
+        _RAIL_HALF = jnp.array([0.005, 0.055, 0.005])
+        rail_off = jnp.array([0.0, 0.0, 0.095])
+        parts.append(box_part(new_hand + rail_off, sim.hand + rail_off,
+                              _RAIL_HALF))
         # held tools strike fixture handles too (hammer head -> nail)
         for i in range(pos.shape[0]):
             tool_i = pos[i] + maths.quat_rotate(quat[i], scene.obj_tool_off[i])
@@ -1124,11 +1256,34 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # a reset or teleport cannot snap the joint in one substep
         dq = jnp.clip(dq, -4.0 * dt / lever, 4.0 * dt / lever)
 
+        # FINITE WELD LOAD: the mocap weld drags the whole arm, and the
+        # force it can put on a damped fixture scales with the weld's
+        # stretch (golden lever-pull: the tcp trails its weld target by
+        # 60-90 mm while the lever turns at ~0.4 m/s against damping 3
+        # reflected at a 0.2 m radius; faucet/dial show the same
+        # stretch-speed balance at their own c/r^2). Handle-speed budget
+        # v = K * |stretch . motion| * lever^2 / c; joints with light
+        # reflected damping (buttons, drawers, windows: c/lever^2 <= 30)
+        # stay weld-dominated and never bind.
+        gap_n = jnp.abs(
+            jnp.sum((target - new_hand)[None, :] * motion, axis=1)
+        )
+        dq_budget = jnp.where(
+            scene.joint_damping > 1e-9,
+            _WELD_K * gap_n * lever * dt
+            / jnp.maximum(scene.joint_damping, 1e-9),
+            _BIG_QV,
+        ) + 1e-3 * dt  # creep floor: a stalled press still settles
+        dq = jnp.clip(dq, -dq_budget, dq_budget)
+
         # hooked: the grasped handle moves rigidly with the hand at the
         # hook-time offset (rate-capped at 4 m/s so a teleporting target
-        # cannot snap the joint). Hinge targets wrap: fixture_inverse is
-        # atan2-periodic, so an orbit crossing the +-pi seam must take the
-        # short way round, not a 2*pi snap.
+        # cannot snap the joint; load-capped by the same weld budget, with
+        # the truncated motion backing the HAND off below — a hooked lever
+        # drags the hand as much as the hand drags the lever). Hinge
+        # targets wrap: fixture_inverse is atan2-periodic, so an orbit
+        # crossing the +-pi seam must take the short way round, not a
+        # 2*pi snap.
         q_target = fixture_inverse(scene, sim.fixture_pos, tcp_mid) + hook_off
         dq_hook = q_target - q
         dq_hook = jnp.where(
@@ -1136,7 +1291,14 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             jnp.mod(dq_hook + jnp.pi, 2.0 * jnp.pi) - jnp.pi,
             dq_hook,
         )
-        q_hooked = q + jnp.clip(dq_hook, -4.0 * dt, 4.0 * dt)
+        # carry hooks (lever ball resting on the claw): support transmits
+        # lifts (+q) only — descending separates instead of dragging the
+        # joint back down
+        dq_hook = jnp.where(
+            scene.joint_hook_carry > 0, jnp.maximum(dq_hook, 0.0), dq_hook
+        )
+        hook_cap = jnp.minimum(4.0 * dt, dq_budget)
+        q_hooked = q + jnp.clip(dq_hook, -hook_cap, hook_cap)
         q_want = q_free + dq
         q_new = jnp.where(hooked > 0, q_hooked, q_want)
         q_new = jnp.clip(q_new, scene.joint_range[:, 0], scene.joint_range[:, 1])
@@ -1150,6 +1312,13 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         q_free_clip = jnp.clip(q_free, scene.joint_range[:, 0], scene.joint_range[:, 1])
         dq_realized = jnp.where(hooked > 0, dq, q_new - q_free_clip)
         residual = (dq - dq_realized) * (hooked == 0) * scene.joint_exists
+        # hooked back-reaction: the part of the hand's demanded handle
+        # motion the load budget (or a range stop) truncated drags the
+        # HAND back — a hooked heavy lever slows the arm exactly as much
+        # as the arm speeds the lever
+        residual = residual + (
+            (dq_hook - (q_new - q)) * (hooked > 0) * scene.joint_exists
+        )
         backoff = -jnp.sum(
             (residual * lever)[:, None] * motion, axis=0
         )
@@ -1176,7 +1345,61 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         scale_bt = jnp.where(
             bo_n > 1e-9, bt_allow / jnp.maximum(bt_mag, 1e-9), 1.0
         )
+        # round hookable knobs/balls (lever, faucet, dial) shed tangential
+        # load — the contact normal on a ball is center-to-part, not the
+        # motion axis, so a hand pressing a bottomed-out lever slides off
+        # it instead of freezing (golden lever-pull: the ref hand slides
+        # down past the parked handle within ~15 steps while its mocap
+        # marches on). Flat faces (buttons, doors, drawers) keep the pin.
+        pin_round = jnp.any(
+            (jnp.abs(residual) > 1e-12) & (scene.joint_hookable > 0)
+        )
+        scale_bt = jnp.where(pin_round, 1.0, scale_bt)
         new_hand = sim.hand + dv_bn + dv_bt * scale_bt
+        # rigid handle bars: a capsule-bar handle (faucet/window/handle
+        # levers) is SOLID perpendicular to its joint's motion axis — the
+        # fixture cannot yield there, so the claw must. Push the fingertip
+        # sphere radially out of every live bar, with the motion-axis
+        # component removed (pressing along motion is the projection's
+        # job above). Suppressed while the claw is wrapping or hooked on
+        # a hookable handle — the wrap legitimately encloses the bar
+        # (golden faucet traces: after release the claw RESTS on the
+        # handle arm at bar-radius standoff instead of sinking through).
+        def _bar_pushout(center, r_part):
+            pt0 = handle + press_pt_off
+            s_n = jnp.clip(
+                jnp.sum((center[None, :] - pt0) * press_fd, axis=1),
+                -scene.joint_face_radius, scene.joint_face_radius,
+            )
+            pt = pt0 + s_n[:, None] * press_fd
+            d3 = center[None, :] - pt
+            dist = _norm(d3, axis=1)
+            r_sum = scene.joint_handle_radius + r_part
+            pen = jnp.maximum(r_sum - dist, 0.0)
+            n_dir = d3 / jnp.maximum(dist, 1e-9)[:, None]
+            corr = n_dir * pen[:, None]
+            corr = corr - motion * jnp.sum(corr * motion, axis=1, keepdims=True)
+            wrap = (scene.joint_hookable > 0) & (
+                (hooked > 0) | (in_claw & (effort > 0.0))
+            )
+            act = has_bar & (scene.joint_exists > 0) & ~wrap
+            return jnp.sum(corr * act[:, None], axis=0)
+
+        new_hand = new_hand + _bar_pushout(new_hand, _HAND_TIP_R)
+        # rigid wrap lock: while hooked, the hand sits at its captured
+        # offset from the (possibly rotated) handle in every direction the
+        # joint cannot move — the squeezed bar carries the hand there
+        q_rot_new = jax.vmap(maths.axis_angle_quat)(scene.joint_axis, q_new)
+        off_w_new = jax.vmap(maths.quat_rotate)(q_rot_new, hook_hoff)
+        off_w_new = jnp.where(is_hinge_j[:, None], off_w_new, hook_hoff)
+        handle_new = fixture_handle_pos(scene, sim.fixture_pos, q_new)
+        lock_corr = (handle_new + off_w_new) - new_hand[None, :]
+        lock_corr = lock_corr - motion * jnp.sum(
+            lock_corr * motion, axis=1, keepdims=True
+        )
+        new_hand = new_hand + jnp.sum(
+            lock_corr * (hooked > 0)[:, None], axis=0
+        )
         # table support under the claw: the reference's fingertip geoms
         # bottom out on the table (or pit floor) at tcp ~ support - 0.01
         # (golden-trace tcp minima: -0.009..+0.002 across the solid-table
@@ -1231,6 +1454,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             unanchored=unanchored,
             hooked=hooked,
             hook_off=hook_off,
+            hook_hoff=hook_hoff,
             pad_force_l=pad_f_l,
             pad_force_r=pad_f_r,
             pad_l=pad_l_new,

@@ -105,6 +105,10 @@ class SceneParams:
     obj_friction: jnp.ndarray    # (MAX_OBJ,) sliding Coulomb coefficient on the
                                  # support (MuJoCo default 1.0; most of our
                                  # pucks calibrate at 0.55)
+    obj_xy_limited: jnp.ndarray  # (MAX_OBJ,) 0/1 — body sits on limited slide
+                                 # joints (soft range springs, not free)
+    obj_xy_lo: jnp.ndarray       # (MAX_OBJ, 2) world xy lower slide stops
+    obj_xy_hi: jnp.ndarray       # (MAX_OBJ, 2) world xy upper slide stops
     obj_hook_grasp: jnp.ndarray  # (MAX_OBJ,) 0/1 — plug-cap hook: attaches when
                                  # caged with the grip driving closed, without
                                  # squeeze contact (peg-unplug's mushroom cap)
@@ -141,6 +145,9 @@ class SceneParams:
                                  # joint_handle_radius and half-length
                                  # joint_face_radius along this axis (handle
                                  # levers, drawer handles)
+    joint_hook_carry: jnp.ndarray # (MAX_JOINT,) 0/1 — hook is a one-way CARRY
+                                 # (handle rests on the claw): transmits +q
+                                 # lifts only
     joint_hookable: jnp.ndarray  # (MAX_JOINT,) 0/1 — gripper can close around handle and pull
     joint_panel_off: jnp.ndarray # (MAX_JOINT,) panel plane offset from the
                                  # pivot->handle line along +motion (the door
@@ -198,6 +205,11 @@ class SimState:
                               # hook engagement (q - fixture_inverse(claw)); the
                               # hooked joint follows the claw WITH this offset,
                               # so engaging never teleports the handle
+    hook_hoff: jnp.ndarray    # (MAX_JOINT, 3) hand offset from the handle point
+                              # at hook engagement, in the JOINT frame — the
+                              # squeezed wrap is rigid perpendicular to the
+                              # joint's motion, so the hand is locked to
+                              # handle + R(q) . hook_hoff there while hooked
     pad_force_l: jnp.ndarray  # () left pad normal force on main object
     pad_force_r: jnp.ndarray  # () right pad normal force on main object
     pad_l: jnp.ndarray        # (3,) left pad box center (world) — real state so

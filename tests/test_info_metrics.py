@@ -77,8 +77,16 @@ def test_info_metric_replay(name):
         elif has_joint:
             q = engine.fixture_inverse(spec.scene_device, sim.fixture_pos,
                                        o[4:7])
-            q = jnp.clip(q, spec.scene_device.joint_range[:, 0],
-                         spec.scene_device.joint_range[:, 1])
+            # fixture_inverse is atan2-periodic in (-pi, pi]; ranges that
+            # extend past pi (the lever's physical travel reaches ~5.2 when
+            # the reference shoves it through its soft limit) need the
+            # +2pi branch before clipping, or the swept tail clamps to 0
+            lo = spec.scene_device.joint_range[:, 0]
+            hi = spec.scene_device.joint_range[:, 1]
+            is_h = spec.scene_device.joint_type == 2
+            q = jnp.where(is_h & (q < lo) & (q + 2.0 * jnp.pi <= hi),
+                          q + 2.0 * jnp.pi, q)
+            q = jnp.clip(q, lo, hi)
             sim = sim.replace(joint_q=q * spec.scene_device.joint_exists)
         st = state.replace(sim=sim)
         out = spec.reward_fn(spec, st, o, a)

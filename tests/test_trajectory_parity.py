@@ -28,42 +28,42 @@ from metaworld_tpu.envs import registry  # noqa: E402
 # (hand_p95_m, obj_p95_m, rew_mae_rel, open_loop_success_agrees)
 CEILINGS = {
     "assembly-v3": (0.035, 0.030, 0.083, 1),
-    "basketball-v3": (0.233, 0.251, 0.504, 1),
+    "basketball-v3": (0.233, 0.251, 0.506, 1),
     "bin-picking-v3": (0.030, 0.030, 0.083, 1),
     "box-close-v3": (0.080, 0.199, 0.197, 1),
     "button-press-topdown-v3": (0.068, 0.030, 0.853, 1),
     "button-press-topdown-wall-v3": (0.030, 0.030, 0.083, 1),
-    "button-press-v3": (0.064, 0.030, 0.382, 1),
+    "button-press-v3": (0.070, 0.030, 0.368, 1),
     "button-press-wall-v3": (0.030, 0.030, 0.331, 1),
     "coffee-button-v3": (0.086, 0.030, 0.083, 1),
     "coffee-pull-v3": (0.045, 0.043, 0.083, 1),
     "coffee-push-v3": (0.030, 0.105, 1.090, 1),
-    "dial-turn-v3": (0.106, 0.133, 1.062, 1),
+    "dial-turn-v3": (0.106, 0.033, 0.592, 1),
     "disassemble-v3": (0.030, 0.055, 0.083, 1),
-    "door-close-v3": (0.350, 0.201, 0.083, 1),
+    "door-close-v3": (0.349, 0.203, 0.083, 1),
     "door-lock-v3": (0.508, 0.047, 0.109, 1),
-    "door-open-v3": (0.366, 0.161, 0.083, 1),
-    "door-unlock-v3": (0.275, 0.301, 0.363, 1),
+    "door-open-v3": (0.209, 0.161, 0.083, 1),
+    "door-unlock-v3": (0.275, 0.301, 0.362, 1),
     "drawer-close-v3": (0.049, 0.030, 0.083, 1),
     "drawer-open-v3": (0.073, 0.068, 0.083, 1),
-    "faucet-close-v3": (0.425, 0.529, 0.171, 1),
-    "faucet-open-v3": (0.401, 0.514, 0.192, 1),
+    "faucet-close-v3": (0.425, 0.529, 0.176, 1),
+    "faucet-open-v3": (0.346, 0.476, 0.243, 1),
     "hammer-v3": (0.091, 0.111, 0.586, 1),
     "hand-insert-v3": (0.112, 0.115, 0.083, 1),
-    "handle-press-side-v3": (0.030, 0.030, 0.083, 1),
-    "handle-press-v3": (0.043, 0.030, 0.083, 1),
-    "handle-pull-side-v3": (0.030, 0.039, 0.158, 1),
-    "handle-pull-v3": (0.030, 0.036, 0.083, 1),
-    "lever-pull-v3": (0.677, 0.639, 0.128, 1),
+    "handle-press-side-v3": (0.042, 0.030, 0.096, 1),
+    "handle-press-v3": (0.030, 0.044, 0.155, 1),
+    "handle-pull-side-v3": (0.030, 0.037, 0.158, 1),
+    "handle-pull-v3": (0.042, 0.033, 0.083, 1),
+    "lever-pull-v3": (0.677, 0.152, 0.093, 1),
     "peg-insert-side-v3": (0.032, 0.051, 0.083, 1),
     "peg-unplug-side-v3": (0.034, 0.030, 0.083, 1),
     "pick-out-of-hole-v3": (0.030, 0.030, 0.083, 1),
     "pick-place-v3": (0.042, 0.038, 0.083, 1),
     "pick-place-wall-v3": (0.030, 0.030, 0.083, 1),
-    "plate-slide-back-side-v3": (0.040, 0.284, 1.162, 1),
-    "plate-slide-back-v3": (0.036, 0.343, 0.166, 1),
-    "plate-slide-side-v3": (0.345, 0.407, 0.878, 1),
-    "plate-slide-v3": (0.290, 0.077, 1.133, 1),
+    "plate-slide-back-side-v3": (0.034, 0.086, 0.182, 1),
+    "plate-slide-back-v3": (0.030, 0.094, 0.099, 1),
+    "plate-slide-side-v3": (0.042, 0.036, 0.083, 1),
+    "plate-slide-v3": (0.140, 0.099, 0.083, 1),
     "push-back-v3": (0.044, 0.066, 0.178, 1),
     "push-v3": (0.042, 0.038, 0.083, 1),
     "push-wall-v3": (0.040, 0.036, 0.083, 1),
