@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 32768
+BATCH = 131072
 SCAN_STEPS = 250
 
 
@@ -69,7 +69,7 @@ def main():
     steps = envs.num_envs * SCAN_STEPS * n_rounds
     sps = steps / dt
     print(json.dumps({
-        "metric": "env_steps_per_s_mt10_b32768",
+        "metric": "env_steps_per_s_mt10_b131072",
         "value": round(sps, 1),
         "unit": "steps/s",
         "vs_baseline": round(sps / 1_000_000.0, 3),

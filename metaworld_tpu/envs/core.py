@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from metaworld_tpu.physics import engine, maths
+from metaworld_tpu.physics import engine, engine_lanes, maths
 from metaworld_tpu.types import (
     HAND_SPACE_HIGH,
     HAND_SPACE_LOW,
@@ -202,7 +202,7 @@ def env_step(spec: TaskSpec, state: EnvState, action: jnp.ndarray):
     the step keeps the LAST STABLE sim state and reports reward 0 — the
     in-graph equivalent of the reference catching a MuJoCo exception and
     returning its last stable observation."""
-    sim = engine.control_step(spec.scene_device, state.sim, action)
+    sim = engine_lanes.control_step(spec.scene_device, state.sim, action)
     stable = (jnp.isfinite(sim.hand).all()
               & jnp.isfinite(sim.obj_pos).all()
               & jnp.isfinite(sim.joint_q).all()

@@ -306,13 +306,23 @@ class FusedState:
 
 
 class FusedBatchedEnvs(BatchedEnvs):
-    """Single-vmap variant: physics for ALL tasks runs as one full-width
-    kernel over per-slot scene rows (scenes-as-data); only the cheap per-task
-    observation/reward tail runs per task group. Autoreset work is gated
-    behind a batch-level lax.cond, so its cost is paid only on the ~1/500
-    steps where some episode actually ended."""
+    """Single-program variant: physics for ALL tasks runs as one full-width
+    lane-oriented step over per-slot scene rows (scenes-as-data); only the
+    cheap per-task observation/reward tail runs per task group. Autoreset
+    work is gated behind a batch-level lax.cond, so its cost is paid only on
+    the ~1/500 steps where some episode actually ended.
 
-    def __init__(self, *args, **kwargs):
+    `physics` selects the batched step implementation:
+      * "lanes"  — engine_lanes.control_step under plain XLA (works on any
+        backend; the substep mega-fuses into a few elementwise kernels)
+      * "pallas" — the Pallas TPU kernel (physics/pallas_step.py): all 5
+        substeps run on-chip out of VMEM, one HBM read/write of the packed
+        state per control step
+      * "auto"   — "pallas" on TPU backends, "lanes" elsewhere (default)
+    """
+
+    def __init__(self, *args, physics: str = "auto", pallas_block: int = 2048,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         # per-slot scene rows: gather each spec's scene for its slots
         rows = []
@@ -325,6 +335,16 @@ class FusedBatchedEnvs(BatchedEnvs):
             lambda *xs: jnp.asarray(np.concatenate(xs, axis=0)), *rows
         )
         self._offsets = np.cumsum([0] + list(self.counts))
+        assert physics in ("auto", "lanes", "pallas")
+        if physics == "auto":
+            physics = ("pallas" if jax.default_backend() == "tpu" else "lanes")
+        self.physics = physics
+        self.pallas_block = int(pallas_block)
+        if physics == "pallas":
+            from metaworld_tpu.physics import pallas_step
+            self._scene_rows = pallas_step.pack_scene_rows(self._scene_slots)
+        else:
+            self._scene_rows = None
 
     def _slice(self, tree, i):
         a, b = int(self._offsets[i]), int(self._offsets[i + 1])
@@ -365,11 +385,18 @@ class FusedBatchedEnvs(BatchedEnvs):
 
     def _step_impl(self, vstate: FusedState, actions):
         from metaworld_tpu.envs.core import post_step
-        from metaworld_tpu.physics import engine
+        from metaworld_tpu.physics import engine_lanes
 
         env = vstate.env
-        # full-width physics over per-slot scene rows
-        sim = jax.vmap(engine.control_step)(self._scene_slots, env.sim, actions)
+        # full-width physics over per-slot scene rows (lane-oriented step —
+        # natively batched, no vmap; see physics/engine_lanes.py)
+        if self.physics == "pallas":
+            from metaworld_tpu.physics import pallas_step
+            sim = pallas_step.control_step(
+                self._scene_slots, self._scene_rows, env.sim, actions,
+                block=self.pallas_block)
+        else:
+            sim = engine_lanes.control_step(self._scene_slots, env.sim, actions)
         # sim-instability guard, vectorized (ref _did_see_sim_exception,
         # sawyer_xyz_env.py:235,603-619): unstable slots keep their last
         # stable sim state and report reward 0 below

@@ -1,0 +1,112 @@
+"""Equivalence of the three physics-step implementations.
+
+physics/engine.py is the readable reference implementation (small per-env
+arrays + vmap); physics/engine_lanes.py is the lane-oriented fast path that
+every runtime consumer now uses; physics/pallas_step.py runs the same lane
+substep inside a Pallas TPU kernel. These tests pin all three to each other:
+a drift in any one of them fails here before it can skew golden parity.
+
+Tolerances: the lane translation reorders float accumulations (explicit
+x+y+z vs jnp.sum) and evaluates atan2 by polynomial (engine_lanes._atan2,
+Mosaic has no native lowering), so agreement is ~1e-7 per step, not bitwise.
+Each step both engines restart from the shared state so knife-edge contact
+branches cannot legitimately fork trajectories mid-test.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import metaworld_tpu as mw
+from metaworld_tpu import vector
+from metaworld_tpu.envs.core import env_reset
+from metaworld_tpu.physics import engine, engine_lanes, pallas_step
+
+# grasp + static boxes | hinge panel + hook | two objects + nail joint + tool
+TASKS = ["pick-place-v3", "door-open-v3", "hammer-v3"]
+
+
+def _max_field_err(sim_a, sim_b):
+    worst, field = 0.0, None
+    for f in sim_a.__dataclass_fields__:
+        a = np.asarray(getattr(sim_a, f), dtype=np.float64)
+        b = np.asarray(getattr(sim_b, f), dtype=np.float64)
+        e = float(np.max(np.abs(a - b))) if a.size else 0.0
+        if e > worst:
+            worst, field = e, f
+    return worst, field
+
+
+@pytest.mark.parametrize("name", TASKS)
+def test_lanes_matches_reference_engine(name):
+    bench = mw.MT1(name, seed=0, num_goals=2)
+    spec = bench.train_classes[name]
+    table = bench.goal_table(name)
+    state, _ = env_reset(spec, jnp.asarray(table[0]), jax.random.PRNGKey(3), 1.0)
+    scene = jax.tree.map(jnp.asarray, spec.scene_device)
+    step_a = jax.jit(lambda s, a: engine.control_step(scene, s, a))
+    step_b = jax.jit(lambda s, a: engine_lanes.control_step(scene, s, a))
+    sim = state.sim
+    rng = np.random.default_rng(0)
+    for t in range(25):
+        act = jnp.asarray(rng.uniform(-1, 1, 4).astype(np.float32))
+        sim_a = step_a(sim, act)
+        sim_b = step_b(sim, act)
+        err, field = _max_field_err(sim_a, sim_b)
+        assert err < 1e-5, f"{name} t={t}: {field} diverged by {err:.3e}"
+        sim = sim_a
+
+
+def test_pallas_kernel_matches_lanes_interpret():
+    """The Pallas kernel (interpret mode on CPU) reproduces the lane engine
+    on a mixed-task batch — validates the packed row layout and the in-kernel
+    unpack against the XLA path."""
+    specs, tables = [], []
+    for name in TASKS:
+        bench = mw.MT1(name, seed=0, num_goals=2)
+        specs.append(bench.train_classes[name])
+        tables.append(bench.goal_table(name))
+    envs = vector.FusedBatchedEnvs(
+        specs=specs, counts=[8, 8, 8], goal_tables=tables,
+        goal_visible=True, physics="lanes")
+    state, _ = envs.reset(jax.random.PRNGKey(0))
+    sim = state.env.sim
+    scene = envs._scene_slots
+    scene_rows = pallas_step.pack_scene_rows(scene)
+    rng = np.random.default_rng(1)
+    for t in range(3):
+        act = jnp.asarray(rng.uniform(-1, 1, (24, 4)).astype(np.float32))
+        sim_a = jax.jit(
+            lambda s, a: engine_lanes.control_step(scene, s, a))(sim, act)
+        sim_b = pallas_step.control_step(scene, scene_rows, sim, act,
+                                         block=16, interpret=True)
+        err, field = _max_field_err(sim_a, sim_b)
+        assert err < 1e-4, f"t={t}: {field} diverged by {err:.3e}"
+        sim = sim_a
+
+
+def test_polynomial_atan2_accuracy():
+    """engine_lanes._atan2 (Mosaic-safe polynomial) vs numpy arctan2 over the
+    full circle at several radii."""
+    th = np.linspace(-np.pi, np.pi, 721)[:-1]
+    for r in (1e-3, 0.1, 1.0, 40.0):
+        y = jnp.asarray((r * np.sin(th)).astype(np.float32))
+        x = jnp.asarray((r * np.cos(th)).astype(np.float32))
+        got = np.asarray(engine_lanes._atan2(y, x), dtype=np.float64)
+        want = np.arctan2(np.float64(np.asarray(y)), np.float64(np.asarray(x)))
+        assert np.max(np.abs(got - want)) < 5e-6
+
+
+def test_fused_envs_physics_option():
+    """physics="lanes" and the default both step; "auto" resolves by backend."""
+    bench = mw.MT1("reach-v3", seed=0, num_goals=2)
+    spec = bench.train_classes["reach-v3"]
+    envs = vector.FusedBatchedEnvs(
+        specs=[spec], counts=[4], goal_tables=[bench.goal_table("reach-v3")],
+        goal_visible=True)
+    assert envs.physics == ("pallas" if jax.default_backend() == "tpu"
+                            else "lanes")
+    state, obs = envs.reset(jax.random.PRNGKey(0))
+    state, out = envs.step(state, jnp.zeros((4, 4)))
+    assert np.isfinite(np.asarray(out["reward"])).all()
