@@ -57,13 +57,15 @@ def main():
 
     # compile + warmup
     state, r = rollout_jit(state, key)
-    jax.block_until_ready(r)
+    jax.block_until_ready((state, r))
 
     t0 = time.perf_counter()
     n_rounds = 4
     for i in range(n_rounds):
         state, r = rollout_jit(state, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(r)
+    # block on the full carry, not just the reduced scalar — async dispatch
+    # over the device tunnel has been observed to mark the scalar ready early
+    jax.block_until_ready((state, r))
     dt = time.perf_counter() - t0
 
     steps = envs.num_envs * SCAN_STEPS * n_rounds

@@ -79,6 +79,13 @@ class TaskSpec:
     # slot i when quat_joint[i] = j >= 0 (doors/lever, whose reported body
     # rotates with the hinge)
     quat_joint: tuple = (-1, -1)
+    # reported-position offset from the physics COM, per object slot: the
+    # reference reports the body FRAME origin (get_body_com returns
+    # data.body(name).xpos), which for bodies whose geoms are offset inside
+    # the body (block.xml: geom at +0.02) sits BELOW the COM the engine
+    # integrates. reported = COM + obj_report_off (e.g. sweep's block:
+    # (0,0,-0.02); rewards read the reported value, like the reference's).
+    obj_report_off: np.ndarray = None
 
     @property
     def rand_dim(self) -> int:
@@ -145,8 +152,12 @@ def live_obj_quat(spec: TaskSpec, state: EnvState) -> jnp.ndarray:
 
 
 def default_obs_fn(spec: TaskSpec, state: EnvState):
-    """Objects report their body COM and live orientation."""
-    return state.sim.obj_pos, live_obj_quat(spec, state)
+    """Objects report their body-frame position (COM + per-task report
+    offset, see TaskSpec.obj_report_off) and live orientation."""
+    pos = state.sim.obj_pos
+    if spec.obj_report_off is not None:
+        pos = pos + np.asarray(spec.obj_report_off, np.float32)
+    return pos, live_obj_quat(spec, state)
 
 
 def curr_obs18(spec: TaskSpec, state: EnvState) -> jnp.ndarray:

@@ -21,7 +21,11 @@ from metaworld_tpu.rewards import utils as reward_utils
 
 def coffee_mug_scene():
     return build_scene(
-        objs=[FreeObj(radius=0.035, half_h=0.0, graspable=True,
+        # the mug reports its body-frame origin at its BOTTOM (ref
+        # get_body_com("obj"); mug.xml geoms at +0.035): physics tracks the
+        # true COM (half_h 0.035) and the task's obj_report_off shifts the
+        # observation back to the bottom-frame convention
+        objs=[FreeObj(radius=0.035, half_h=0.035, graspable=True,
                       grasp_halfwidth=0.033, mass=0.15)],
         # the coffee machine body sits behind the mug slot
         boxes=[StaticBox(pos=(0.0, 0.05, 0.15), size=(0.08, 0.08, 0.15),
@@ -76,7 +80,7 @@ def _reset(spec: TaskSpec, rand, rng):
     target = rand[3:6]
     machine = mug + jnp.array([0.0, 0.22, 0.0])
     return dict(
-        obj_pos=common.pad_obj_pos(mug),
+        obj_pos=common.pad_obj_pos(mug + jnp.array([0.0, 0.0, 0.035])),
         obj_init_pos=common.pad_obj_pos(mug),
         target=target,
         fixture_pos=machine,
@@ -94,6 +98,8 @@ def make_spec(task_id: int) -> TaskSpec:
         hand_init_pos=np.array([0.0, 0.4, 0.2]),
         goal_low=np.array([-0.1, 0.55, -0.001]),
         goal_high=np.array([0.1, 0.65, 0.001]),
+        obj_report_off=np.array([[0.0, 0.0, -0.035], [0.0, 0.0, 0.0]],
+                                np.float32),
         reset_fn=_reset,
         reward_fn=make_coffee_reward(),
         n_obs_obj=1,

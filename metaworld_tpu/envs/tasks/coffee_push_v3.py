@@ -25,7 +25,7 @@ def _reset(spec: TaskSpec, rand, rng):
     target = rand[3:6]
     machine = target + jnp.array([0.0, 0.22, 0.0])
     return dict(
-        obj_pos=common.pad_obj_pos(mug),
+        obj_pos=common.pad_obj_pos(mug + jnp.array([0.0, 0.0, 0.035])),
         obj_init_pos=common.pad_obj_pos(mug),
         target=target,
         fixture_pos=machine,
@@ -43,6 +43,8 @@ def make_spec(task_id: int) -> TaskSpec:
         hand_init_pos=np.array([0.0, 0.4, 0.2]),
         goal_low=np.array([-0.05, 0.7, -0.001]),
         goal_high=np.array([0.05, 0.75, 0.001]),
+        obj_report_off=np.array([[0.0, 0.0, -0.035], [0.0, 0.0, 0.0]],
+                                np.float32),
         reset_fn=_reset,
         reward_fn=make_coffee_reward(),
         n_obs_obj=1,

@@ -24,11 +24,16 @@ _GOAL_HIGH = (0.51, 0.7, 0.02)
 
 
 def _reset(spec: TaskSpec, rand, rng):
-    obj = jnp.array([rand[0], rand[1], 0.02])
+    # the reference writes qpos z = 0.02 for the BODY FRAME (block.xml's
+    # geom sits at +0.02 inside the body), so the block spawns 2 cm above
+    # its rest and falls: reported z 0.02 -> ~0.0 over the first few steps
+    # (golden trace t0=+0.020, t8=-0.002). Our COM spawns at 0.04 and
+    # settles to 0.02; the -0.02 report offset reproduces both endpoints.
+    obj = jnp.array([rand[0], rand[1], 0.04])
     target = jnp.array([0.5, rand[1], 0.01])
     return dict(
         obj_pos=common.pad_obj_pos(obj),
-        obj_init_pos=common.pad_obj_pos(obj),
+        obj_init_pos=common.pad_obj_pos(jnp.array([rand[0], rand[1], 0.02])),
         target=target,
     )
 
@@ -66,7 +71,8 @@ def _reward(spec: TaskSpec, state, obs, action):
 @registry.register("sweep-v3")
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
-        objs=[FreeObj(radius=0.02, half_h=0.02, graspable=True, grasp_halfwidth=0.0227)],
+        objs=[FreeObj(radius=0.02, half_h=0.02, graspable=True, grasp_halfwidth=0.0227,
+                      friction=1.0)],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )
@@ -77,6 +83,10 @@ def make_spec(task_id: int) -> TaskSpec:
         rand_low=np.asarray(_OBJ_LOW),
         rand_high=np.asarray(_OBJ_HIGH),
         hand_init_pos=np.array([0.0, 0.6, 0.2]),
+        # ref reports data.body("obj").xpos = block bottom-face frame
+        # (sawyer_sweep_v3.py:96-97, block.xml geom at +0.02)
+        obj_report_off=np.array([[0.0, 0.0, -0.02], [0.0, 0.0, 0.0]],
+                                np.float32),
         goal_low=np.asarray(_GOAL_LOW),
         goal_high=np.asarray(_GOAL_HIGH),
         reset_fn=_reset,

@@ -499,7 +499,12 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         )
         vel = jnp.where(planar[:, None], vel * visc[:, None], vel)
         vel = jnp.where(pinned_anchor[:, None], 0.0, vel)
-        pos = pos + vel * dt
+        # nonexistent (padding) slots are pinned: without this they
+        # free-fall forever (their ground support is exists-gated), and the
+        # drifting ghost state defeats block-specialized fast paths
+        ex = (scene.obj_exists > 0)[:, None]
+        vel = vel * ex
+        pos = jnp.where(ex, pos + vel * dt, pos)
 
         # finger-pad pushing: the pads are thin vertical plates (world half
         # extents ~(0.015, 0.003, 0.045), ref xyz_base.xml:171,183) that cage
@@ -631,21 +636,35 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         _EZ = jnp.array([0.0, 0.0, 1.0])
         _EXY = jnp.array([1.0, 1.0, 0.0])
 
-        def ground_one(p, v, half_h, fric):
+        def ground_one(p, v, half_h, fric, rolls):
             sz = _support_z(scene, p[:2])
             below = p[2] - half_h < sz
             p = p + _EZ * jnp.where(below, sz + half_h - p[2], 0.0)
             vz_new = jnp.where(below & (v[2] < 0.0), 0.0, v[2])
-            # Coulomb friction on the tangential velocity while supported
+            # Coulomb friction on the tangential velocity while supported.
+            # The friction impulse scales with the NORMAL impulse: resting
+            # contact absorbs m*g*dt per substep, and a LANDING additionally
+            # absorbs the whole downward speed — a block dropped while
+            # sliding stops nearly dead on impact (golden sweep: the swept
+            # block lands from its carry at 0.75 m/s horizontal and stops
+            # within one control step; gravity-only friction coasted it
+            # 55 mm past the reference). Exempt: spheres (a ball's contact
+            # point rolls, the impact does not brake its center) and
+            # xy-limited sliders (the reference's plate-slide pucks are
+            # 2-dof slide-jointed with no vertical dof — any landing here
+            # is an artifact of our z freedom, not a real impulse).
+            absorbed = jnp.where(below & (v[2] < 0.0) & ~rolls, -v[2], 0.0)
             speed = _norm(v[:2])
-            dec = fric * _GRAVITY * dt
+            dec = fric * (_GRAVITY * dt + absorbed)
             scale = jnp.where(speed > 1e-9, jnp.maximum(speed - dec, 0.0) / jnp.maximum(speed, 1e-9), 0.0)
             xy_scale = jnp.where(below, scale, 1.0)
             v = v * (_EXY * xy_scale) + _EZ * vz_new
             return p, v
 
         frics = scene.obj_friction * (1.0 - scene.obj_planar)
-        pos_g, vel_g = jax.vmap(ground_one)(pos, vel, scene.obj_half_h, frics)
+        rolls = (scene.obj_type == ObjType.SPHERE) | (scene.obj_xy_limited > 0)
+        pos_g, vel_g = jax.vmap(ground_one)(pos, vel, scene.obj_half_h, frics,
+                                            rolls)
         pos = jnp.where(free[:, None], pos_g, pos)
         vel = jnp.where(free[:, None], vel_g, vel)
 
@@ -1170,10 +1189,14 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # around a void — the reference descends it AROUND a drawer/handle
         # bar to hook it, so a center sphere would wrongly wall off every
         # handle face by r_sum (drawer-open's approach stalled 4 cm out).
-        # Fade over a 2 cm gap band; press poses close the claw (act[3]=+1
-        # -> gap ~ 0), so button/handle calibration is unchanged.
+        # NB the finger slide ranges bottom out at gap = 0.03 m (r 0.04 +
+        # l 0.03 of the 0.1 m opening), so "fully closed" is pad_gap =
+        # 0.024, NOT 0: gate against that floor (a 0.025 threshold left the
+        # tip 95% disabled in every press pose, and the residual-free
+        # side-flipped tip then deadlocked pressed buttons below their
+        # face). Fade over the same 2 cm band above the floor.
         pad_gap = gripper * GRIPPER_FULL_OPEN - PAD_GAP_INSET
-        tip_active = jnp.clip((0.025 - pad_gap) / 0.02, 0.0, 1.0)
+        tip_active = jnp.clip((0.049 - pad_gap) / 0.02, 0.0, 1.0)
         parts = [sphere_part(new_hand, sim.hand, 0.012, weight=tip_active)]
         # knuckle: box model against bars, sphere against disc faces (the
         # 0.012 sphere matches the golden button equilibria; the box's disc

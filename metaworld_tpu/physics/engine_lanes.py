@@ -532,7 +532,16 @@ _PAD_K = 4000.0
 # the substep (translates engine.control_step's substep, engine.py:310-1463)
 # ---------------------------------------------------------------------------
 
-def _substep(sc, st, target, effort):
+def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
+             with_hand_boxes=True):
+    """One physics substep. The with_* kwargs are PYTHON-STATIC feature
+    flags: a False drops that section from the traced program entirely and
+    substitutes identity outputs. Correct only when the corresponding scene
+    features are absent for every lane (obj_exists / joint_exists /
+    static_blocks_hand all zero) — the generic all-True form is always
+    sound. The Pallas kernel switches between specialized variants per env
+    block (blocks are task-contiguous, and most tasks exercise only one
+    feature family), cutting the per-block instruction count ~2x."""
     dt = _DT
     hand0 = st["hand"]
 
@@ -558,81 +567,90 @@ def _substep(sc, st, target, effort):
             acc = _add3(acc, v)
         return acc
 
-    h = new_hand
-    tip = _sum3([
-        _scale3(_sphere_box_pushout(h, _HAND_TIP_R, bp, bs)[0], sc.blk[s])
-        for s, (bp, bs) in enumerate(boxes)
-    ])
-    h = _add3(h, tip)
-    h_up = (h[0], h[1], h[2] + 0.105)
-    knuckle_c = _sum3([
-        _scale3(_sphere_box_pushout(h_up, _HAND_KNUCKLE_R, bp, bs)[0], sc.blk[s])
-        for s, (bp, bs) in enumerate(boxes)
-    ])
-    h = _add3(h, knuckle_c)
-
-    def _pad_box_corr(pc, bp, bs, on):
-        """engine.py:366-386 one_p: pad plate AABB vs scene box."""
-        d = _sub3(pc, bp)
-        pen = tuple(_PAD_HALF_BLK[k] + bs[k] - jnp.abs(d[k]) for k in range(3))
-        hit = (pen[0] > 0.0) & (pen[1] > 0.0) & (pen[2] > 0.0) & (on > 0)
-        pick0, pick1, _ = _argmin3(*pen)
-        pen_h = jnp.minimum(pen[0], pen[1])
-        use_h = pen_h < _PAD_TIP_BEVEL
-        h0 = pen[0] <= pen[1]
-        # logical blend, not jnp.where-on-bools (Mosaic cannot lower an
-        # i8->i1 select; i1 logic ops lower cleanly)
-        p0 = (use_h & h0) | (~use_h & pick0)
-        p1 = (use_h & ~h0) | (~use_h & pick1)
-        d_axis = _sel3(p0, p1, d[0], d[1], d[2])
-        sgn = jnp.where(d_axis >= 0, 1.0, -1.0)
-        mag = jnp.where(hit, _sel3(p0, p1, pen[0], pen[1], pen[2]), 0.0)
-        return (jnp.where(p0, mag * sgn, 0.0), jnp.where(p1, mag * sgn, 0.0),
-                jnp.where(p0 | p1, 0.0, mag * sgn))
-
-    for pc in _pad_centers(h, st["gripper"]):
-        corr_p = _sum3([
-            _pad_box_corr(pc, bp, bs, sc.blk[s])
+    if with_hand_boxes:
+        h = new_hand
+        tip = _sum3([
+            _scale3(_sphere_box_pushout(h, _HAND_TIP_R, bp, bs)[0], sc.blk[s])
             for s, (bp, bs) in enumerate(boxes)
         ])
-        h = _add3(h, corr_p)
-    raw_hand = new_hand
-    new_hand = h
+        h = _add3(h, tip)
+        h_up = (h[0], h[1], h[2] + 0.105)
+        knuckle_c = _sum3([
+            _scale3(_sphere_box_pushout(h_up, _HAND_KNUCKLE_R, bp, bs)[0],
+                    sc.blk[s])
+            for s, (bp, bs) in enumerate(boxes)
+        ])
+        h = _add3(h, knuckle_c)
 
-    # Coulomb stick/slip pin against blocked boxes (engine.py:396-419)
-    corr_h = _sub3(new_hand, raw_hand)
-    cn_h = _norm3(corr_h)
-    n_h_dir = _scale3(corr_h, 1.0 / jnp.maximum(cn_h, 1e-9))
-    dv_h = _sub3(new_hand, hand0)
-    dvn = _dot3(dv_h, n_h_dir)
-    dv_n_h = _scale3(n_h_dir, dvn)
-    dv_t_h = _sub3(dv_h, dv_n_h)
-    t_mag = _norm3(dv_t_h)
-    t_allow = jnp.maximum(t_mag - _MU_HAND * cn_h, 0.0)
-    scale_t = jnp.where(cn_h > 1e-9, t_allow / jnp.maximum(t_mag, 1e-9), 1.0)
-    new_hand = tuple(hand0[k] + dv_n_h[k] + dv_t_h[k] * scale_t for k in range(3))
+        def _pad_box_corr(pc, bp, bs, on):
+            """engine.py:366-386 one_p: pad plate AABB vs scene box."""
+            d = _sub3(pc, bp)
+            pen = tuple(_PAD_HALF_BLK[k] + bs[k] - jnp.abs(d[k])
+                        for k in range(3))
+            hit = (pen[0] > 0.0) & (pen[1] > 0.0) & (pen[2] > 0.0) & (on > 0)
+            pick0, pick1, _ = _argmin3(*pen)
+            pen_h = jnp.minimum(pen[0], pen[1])
+            use_h = pen_h < _PAD_TIP_BEVEL
+            h0 = pen[0] <= pen[1]
+            # logical blend, not jnp.where-on-bools (Mosaic cannot lower an
+            # i8->i1 select; i1 logic ops lower cleanly)
+            p0 = (use_h & h0) | (~use_h & pick0)
+            p1 = (use_h & ~h0) | (~use_h & pick1)
+            d_axis = _sel3(p0, p1, d[0], d[1], d[2])
+            sgn = jnp.where(d_axis >= 0, 1.0, -1.0)
+            mag = jnp.where(hit, _sel3(p0, p1, pen[0], pen[1], pen[2]), 0.0)
+            return (jnp.where(p0, mag * sgn, 0.0),
+                    jnp.where(p1, mag * sgn, 0.0),
+                    jnp.where(p0 | p1, 0.0, mag * sgn))
+
+        for pc in _pad_centers(h, st["gripper"]):
+            corr_p = _sum3([
+                _pad_box_corr(pc, bp, bs, sc.blk[s])
+                for s, (bp, bs) in enumerate(boxes)
+            ])
+            h = _add3(h, corr_p)
+        raw_hand = new_hand
+        new_hand = h
+
+        # Coulomb stick/slip pin against blocked boxes (engine.py:396-419)
+        corr_h = _sub3(new_hand, raw_hand)
+        cn_h = _norm3(corr_h)
+        n_h_dir = _scale3(corr_h, 1.0 / jnp.maximum(cn_h, 1e-9))
+        dv_h = _sub3(new_hand, hand0)
+        dvn = _dot3(dv_h, n_h_dir)
+        dv_n_h = _scale3(n_h_dir, dvn)
+        dv_t_h = _sub3(dv_h, dv_n_h)
+        t_mag = _norm3(dv_t_h)
+        t_allow = jnp.maximum(t_mag - _MU_HAND * cn_h, 0.0)
+        scale_t = jnp.where(cn_h > 1e-9, t_allow / jnp.maximum(t_mag, 1e-9),
+                            1.0)
+        new_hand = tuple(hand0[k] + dv_n_h[k] + dv_t_h[k] * scale_t
+                         for k in range(3))
     hand_vel = tuple((new_hand[k] - hand0[k]) / dt for k in range(3))
 
     # --- grasped-object gap clamp (engine.py:422-432 + _grasp_geometry) ---
     gap0 = st["gripper"] * GRIPPER_FULL_OPEN
     caged, can_grasp = [], []
-    for i in range(MAX_OBJ):
-        gp = _add3(st["obj_pos"][i], sc.o_grasp_off[i])
-        rel = _sub3(gp, hand0)
-        between = jnp.abs(rel[1]) < gap0 / 2.0 + 0.01
-        near_x = jnp.abs(rel[0]) < _GRASP_XZ_TOL
-        near_z = (rel[2] > -0.025) & (rel[2] < _GRASP_Z_SPAN)
-        c = between & near_x & near_z
-        caged.append(c)
-        can_grasp.append(c & (sc.o_graspable[i] > 0) & (sc.o_exists[i] > 0))
-    obj_gap = [
-        jnp.where(can_grasp[i] | (st["attached"][i] > 0),
-                  2.0 * sc.o_ghw[i] + PAD_GAP_INSET, 0.0)
-        for i in range(MAX_OBJ)
-    ]
-    clamp_gap = obj_gap[0]
-    for i in range(1, MAX_OBJ):
-        clamp_gap = jnp.maximum(clamp_gap, obj_gap[i])
+    if with_objects:
+        for i in range(MAX_OBJ):
+            gp = _add3(st["obj_pos"][i], sc.o_grasp_off[i])
+            rel = _sub3(gp, hand0)
+            between = jnp.abs(rel[1]) < gap0 / 2.0 + 0.01
+            near_x = jnp.abs(rel[0]) < _GRASP_XZ_TOL
+            near_z = (rel[2] > -0.025) & (rel[2] < _GRASP_Z_SPAN)
+            c = between & near_x & near_z
+            caged.append(c)
+            can_grasp.append(c & (sc.o_graspable[i] > 0) & (sc.o_exists[i] > 0))
+        obj_gap = [
+            jnp.where(can_grasp[i] | (st["attached"][i] > 0),
+                      2.0 * sc.o_ghw[i] + PAD_GAP_INSET, 0.0)
+            for i in range(MAX_OBJ)
+        ]
+        clamp_gap = obj_gap[0]
+        for i in range(1, MAX_OBJ):
+            clamp_gap = jnp.maximum(clamp_gap, obj_gap[i])
+    else:
+        clamp_gap = 0.0
 
     # --- gripper ODE (engine.py:248-283) ---
     closed = (GRIPPER_FULL_OPEN - gap0) / GRIPPER_FULL_OPEN
@@ -655,639 +673,680 @@ def _substep(sc, st, target, effort):
     gripper_vel = jnp.where(binds, 0.0, (clamped_gap - gap0) / dt / GRIPPER_FULL_OPEN)
     gripper = clamped_gap / GRIPPER_FULL_OPEN
 
-    # --- attach / detach (engine.py:434-482) ---
-    gap_m = gripper * GRIPPER_FULL_OPEN
-    attached, attach_off, unanchored = [], [], []
-    for i in range(MAX_OBJ):
-        gripping = (effort > 0.0) & ((squeeze > 0.0) | (sc.o_hookg[i] > 0))
-        newly = can_grasp[i] & gripping & (st["attached"][i] == 0)
-        ao = _where3(newly, _sub3(st["obj_pos"][i], new_hand), st["attach_off"][i])
-        att = jnp.where(newly, 1.0, st["attached"][i])
-        una = jnp.where(newly, 1.0, st["unanchored"][i])
-        release = (effort <= 0.0) | (
-            (gap_m > 2.0 * sc.o_ghw[i] + PAD_GAP_INSET + 0.01)
-            & (sc.o_hookg[i] == 0)
-        )
-        att = jnp.where(release, 0.0, att)
-        att = att * sc.o_exists[i] * sc.o_graspable[i]
-        # in-grip settle (engine.py:458-482)
-        settle_dn = _SETTLE_DN * sc.sphere_dn[i]
-        tx = -sc.o_grasp_off[i][0]
-        ty = -sc.o_grasp_off[i][1]
-        off_x = tx + (ao[0] - tx) * (1.0 - _SETTLE)
-        off_y = ty + (ao[1] - ty) * (1.0 - _SETTLE)
-        canon_z = 0.006 - sc.o_grasp_off[i][2]
-        off_z = jnp.where(
-            ao[2] < canon_z,
-            ao[2] + (canon_z - ao[2]) * _SETTLE,
-            ao[2] + (canon_z - ao[2]) * settle_dn,
-        )
-        ao = _where3(att > 0, (off_x, off_y, off_z), ao)
-        attached.append(att)
-        attach_off.append(ao)
-        unanchored.append(una)
+    if with_objects:
+        # --- attach / detach (engine.py:434-482) ---
+        gap_m = gripper * GRIPPER_FULL_OPEN
+        attached, attach_off, unanchored = [], [], []
+        for i in range(MAX_OBJ):
+            gripping = (effort > 0.0) & ((squeeze > 0.0) | (sc.o_hookg[i] > 0))
+            newly = can_grasp[i] & gripping & (st["attached"][i] == 0)
+            ao = _where3(newly, _sub3(st["obj_pos"][i], new_hand), st["attach_off"][i])
+            att = jnp.where(newly, 1.0, st["attached"][i])
+            una = jnp.where(newly, 1.0, st["unanchored"][i])
+            release = (effort <= 0.0) | (
+                (gap_m > 2.0 * sc.o_ghw[i] + PAD_GAP_INSET + 0.01)
+                & (sc.o_hookg[i] == 0)
+            )
+            att = jnp.where(release, 0.0, att)
+            att = att * sc.o_exists[i] * sc.o_graspable[i]
+            # in-grip settle (engine.py:458-482)
+            settle_dn = _SETTLE_DN * sc.sphere_dn[i]
+            tx = -sc.o_grasp_off[i][0]
+            ty = -sc.o_grasp_off[i][1]
+            off_x = tx + (ao[0] - tx) * (1.0 - _SETTLE)
+            off_y = ty + (ao[1] - ty) * (1.0 - _SETTLE)
+            canon_z = 0.006 - sc.o_grasp_off[i][2]
+            off_z = jnp.where(
+                ao[2] < canon_z,
+                ao[2] + (canon_z - ao[2]) * _SETTLE,
+                ao[2] + (canon_z - ao[2]) * settle_dn,
+            )
+            ao = _where3(att > 0, (off_x, off_y, off_z), ao)
+            attached.append(att)
+            attach_off.append(ao)
+            unanchored.append(una)
 
-    # --- free-object dynamics (engine.py:484-502) ---
-    pos, vel, pinned_anchor, free_old = [], [], [], []
-    for i in range(MAX_OBJ):
-        pa = (sc.o_anchored[i] > 0) & (unanchored[i] == 0)
-        pinned_anchor.append(pa)
-        planar = sc.o_planar[i]
-        v3 = st["obj_vel"][i]
-        vz = v3[2] - _GRAVITY * dt * (~planar)
-        vz = vz * (1.0 - planar)
-        v3 = (v3[0], v3[1], vz)
-        v3 = _where3(planar, _scale3(v3, sc.visc[i]), v3)
-        v3 = _where3(pa, (0.0 * v3[0], 0.0 * v3[1], 0.0 * v3[2]), v3)
-        p3 = _add3(st["obj_pos"][i], _scale3(v3, dt))
-        pos.append(p3)
-        vel.append(v3)
-        free_old.append((st["attached"][i] == 0) & (sc.o_exists[i] > 0) & ~pa)
+        # --- free-object dynamics (engine.py:484-502) ---
+        pos, vel, pinned_anchor, free_old = [], [], [], []
+        for i in range(MAX_OBJ):
+            pa = (sc.o_anchored[i] > 0) & (unanchored[i] == 0)
+            pinned_anchor.append(pa)
+            planar = sc.o_planar[i]
+            v3 = st["obj_vel"][i]
+            vz = v3[2] - _GRAVITY * dt * (~planar)
+            vz = vz * (1.0 - planar)
+            v3 = (v3[0], v3[1], vz)
+            v3 = _where3(planar, _scale3(v3, sc.visc[i]), v3)
+            v3 = _where3(pa, (0.0 * v3[0], 0.0 * v3[1], 0.0 * v3[2]), v3)
+            # pin nonexistent (padding) slots (see engine.py)
+            ex = sc.o_exists[i] > 0
+            v3 = tuple(v3[k] * ex for k in range(3))
+            p3 = _where3(ex, _add3(st["obj_pos"][i], _scale3(v3, dt)),
+                         st["obj_pos"][i])
+            pos.append(p3)
+            vel.append(v3)
+            free_old.append((st["attached"][i] == 0) & (sc.o_exists[i] > 0) & ~pa)
 
-    # --- finger-pad pushing (engine.py:504-582) ---
-    left, right = _pad_centers(hand0, st["gripper"])
-    pad_push_depth = []   # [pad][obj]
-    pad_side_hit = []     # [pad][obj]
-    for kin_c in (left, right):
-        depths, sides = [], []
+        # --- finger-pad pushing (engine.py:504-582) ---
+        left, right = _pad_centers(hand0, st["gripper"])
+        pad_push_depth = []   # [pad][obj]
+        pad_side_hit = []     # [pad][obj]
+        for kin_c in (left, right):
+            depths, sides = [], []
+            for i in range(MAX_OBJ):
+                p, v3 = pos[i], vel[i]
+                radius, half_x, half_h = sc.o_radius[i], sc.o_half_x[i], sc.o_half_h[i]
+                obj_half = (half_x, radius, half_h)
+                d = _sub3(p, kin_c)
+                pen_box = tuple(_PAD_HALF[k] + obj_half[k] - jnp.abs(d[k])
+                                for k in range(3))
+                hit_box = (pen_box[0] > 0.0) & (pen_box[1] > 0.0) & (pen_box[2] > 0.0)
+                pick0, pick1, _ = _argmin3(*pen_box)
+                d_axis = _sel3(pick0, pick1, d[0], d[1], d[2])
+                sgn = jnp.where(d_axis >= 0, 1.0, -1.0)
+                n_box = (jnp.where(pick0, sgn, 0.0), jnp.where(pick1, sgn, 0.0),
+                         jnp.where(pick0 | pick1, 0.0, sgn))
+                depth_box = jnp.where(
+                    hit_box, _sel3(pick0, pick1, pen_box[0], pen_box[1], pen_box[2]),
+                    0.0)
+                _, n_sph, pen_sph = _sphere_box_pushout(p, radius, kin_c, _PAD_HALF)
+                is_sph = sc.is_sphere[i]
+                n = _where3(is_sph, n_sph, n_box)
+                depth = jnp.where(is_sph, pen_sph, depth_box)
+                hit = depth > 0.0
+                frac = jnp.where(is_sph, 0.3, 1.0)
+                p = _add3(p, _scale3(n, frac * depth))
+                v_rel_n = _dot3(_sub3(v3, hand_vel), n)
+                v3 = _where3(hit & (v_rel_n < 0.0), _sub3(v3, _scale3(n, v_rel_n)), v3)
+                hand_n = _dot3(hand_vel, n)
+                ball_n = _dot3(v3, n)
+                boost = jnp.where(
+                    hit & is_sph & (hand_n > 0.0) & (ball_n < 1.3 * hand_n),
+                    1.3 * hand_n - ball_n, 0.0)
+                v3 = _add3(v3, _scale3(n, boost))
+                dv = _sub3(hand_vel, v3)
+                dv_t = _sub3(dv, _scale3(n, _dot3(dv, n)))
+                blend_eff = jnp.where((~is_sph) & (jnp.abs(n[2]) > 0.7), 0.8,
+                                      sc.blend[i])
+                v3 = _add3(v3, _scale3(dv_t, jnp.where(hit, blend_eff, 0.0)))
+                side_hit = hit & (jnp.abs(n[2]) < 0.7)
+                pos[i] = _where3(free_old[i], p, pos[i])
+                vel[i] = _where3(free_old[i], v3, vel[i])
+                depths.append(depth * sc.o_exists[i])
+                sides.append(side_hit & (sc.o_exists[i] > 0))
+            pad_push_depth.append(depths)
+            pad_side_hit.append(sides)
+
+        # --- object-object contact (engine.py:584-610) ---
+        delta01 = _sub3(pos[0], pos[1])
+        dist01 = _norm3(delta01)
+        r_sum01 = sc.o_radius[0] + sc.o_radius[1]
+        pen01 = jnp.maximum(r_sum01 - dist01, 0.0)
+        both = ((sc.o_exists[0] > 0) & (sc.o_exists[1] > 0)
+                & (sc.link_enable == 0))
+        n01 = _scale3(delta01, 1.0 / jnp.maximum(dist01, 1e-9))
+        mobile = [(st["attached"][i] == 0) & ~pinned_anchor[i] & (sc.o_exists[i] > 0)
+                  for i in range(MAX_OBJ)]
+        w_tot = jnp.maximum(mobile[0] + mobile[1] * 1.0, 1.0)
+        w = [mobile[i] / w_tot for i in range(2)]
+        active01 = both & (pen01 > 0.0)
+        pen_act = jnp.where(active01, pen01, 0.0)
+        pos[0] = _add3(pos[0], _scale3(n01, pen_act * w[0]))
+        pos[1] = _sub3(pos[1], _scale3(n01, pen_act * w[1]))
+        v_n01 = _dot3(_sub3(vel[0], vel[1]), n01)
+        approaching = v_n01 < 0.0
+        vn_act = jnp.where(active01 & approaching, v_n01, 0.0)
+        vel[0] = _sub3(vel[0], _scale3(n01, vn_act * w[0]))
+        vel[1] = _add3(vel[1], _scale3(n01, vn_act * w[1]))
+
+        # --- static boxes (engine.py:612-628) ---
+        def _box_contacts(p, r):
+            return _sum3([
+                _scale3(_sphere_box_pushout(p, r, bp, bs)[0], sc.s_exists[s])
+                for s, (bp, bs) in enumerate(boxes)
+            ])
+
+        for i in range(MAX_OBJ):
+            corr = _box_contacts(pos[i], sc.o_radius[i])
+            pos[i] = _add3(pos[i], _scale3(corr, free_old[i]))
+            corr_n = _safe_normalize3(corr)
+            v_into = jnp.minimum(_dot3(vel[i], corr_n), 0.0)
+            hit_box = (_norm3(corr) > 1e-9) & free_old[i]
+            vel[i] = _where3(hit_box, _sub3(vel[i], _scale3(corr_n, v_into)), vel[i])
+
+        # --- ground / pit support (engine.py:630-662): friction impulse scales
+        # with the normal impulse — a landing absorbs the downward speed, so a
+        # block dropped while sliding stops nearly dead (spheres roll, exempt) ---
         for i in range(MAX_OBJ):
             p, v3 = pos[i], vel[i]
-            radius, half_x, half_h = sc.o_radius[i], sc.o_half_x[i], sc.o_half_h[i]
-            obj_half = (half_x, radius, half_h)
-            d = _sub3(p, kin_c)
-            pen_box = tuple(_PAD_HALF[k] + obj_half[k] - jnp.abs(d[k])
-                            for k in range(3))
-            hit_box = (pen_box[0] > 0.0) & (pen_box[1] > 0.0) & (pen_box[2] > 0.0)
-            pick0, pick1, _ = _argmin3(*pen_box)
-            d_axis = _sel3(pick0, pick1, d[0], d[1], d[2])
-            sgn = jnp.where(d_axis >= 0, 1.0, -1.0)
-            n_box = (jnp.where(pick0, sgn, 0.0), jnp.where(pick1, sgn, 0.0),
-                     jnp.where(pick0 | pick1, 0.0, sgn))
-            depth_box = jnp.where(
-                hit_box, _sel3(pick0, pick1, pen_box[0], pen_box[1], pen_box[2]),
-                0.0)
-            _, n_sph, pen_sph = _sphere_box_pushout(p, radius, kin_c, _PAD_HALF)
-            is_sph = sc.is_sphere[i]
-            n = _where3(is_sph, n_sph, n_box)
-            depth = jnp.where(is_sph, pen_sph, depth_box)
-            hit = depth > 0.0
-            frac = jnp.where(is_sph, 0.3, 1.0)
-            p = _add3(p, _scale3(n, frac * depth))
-            v_rel_n = _dot3(_sub3(v3, hand_vel), n)
-            v3 = _where3(hit & (v_rel_n < 0.0), _sub3(v3, _scale3(n, v_rel_n)), v3)
-            hand_n = _dot3(hand_vel, n)
-            ball_n = _dot3(v3, n)
-            boost = jnp.where(
-                hit & is_sph & (hand_n > 0.0) & (ball_n < 1.3 * hand_n),
-                1.3 * hand_n - ball_n, 0.0)
-            v3 = _add3(v3, _scale3(n, boost))
-            dv = _sub3(hand_vel, v3)
-            dv_t = _sub3(dv, _scale3(n, _dot3(dv, n)))
-            blend_eff = jnp.where((~is_sph) & (jnp.abs(n[2]) > 0.7), 0.8,
-                                  sc.blend[i])
-            v3 = _add3(v3, _scale3(dv_t, jnp.where(hit, blend_eff, 0.0)))
-            side_hit = hit & (jnp.abs(n[2]) < 0.7)
+            sz = _support_z(sc, p[0], p[1])
+            below = p[2] - sc.o_half_h[i] < sz
+            p = (p[0], p[1], p[2] + jnp.where(below, sz + sc.o_half_h[i] - p[2], 0.0))
+            vz_new = jnp.where(below & (v3[2] < 0.0), 0.0, v3[2])
+            no_imp = sc.is_sphere[i] | (sc.o_xy_limited[i] > 0)
+            absorbed = jnp.where(below & (v3[2] < 0.0) & ~no_imp,
+                                 -v3[2], 0.0)
+            speed = _norm2(v3[0], v3[1])
+            dec = sc.fric[i] * (_GRAVITY * dt + absorbed)
+            scl = jnp.where(speed > 1e-9,
+                            jnp.maximum(speed - dec, 0.0) / jnp.maximum(speed, 1e-9),
+                            0.0)
+            xy_scale = jnp.where(below, scl, 1.0)
+            v3 = (v3[0] * xy_scale, v3[1] * xy_scale, vz_new)
             pos[i] = _where3(free_old[i], p, pos[i])
             vel[i] = _where3(free_old[i], v3, vel[i])
-            depths.append(depth * sc.o_exists[i])
-            sides.append(side_hit & (sc.o_exists[i] > 0))
-        pad_push_depth.append(depths)
-        pad_side_hit.append(sides)
 
-    # --- object-object contact (engine.py:584-610) ---
-    delta01 = _sub3(pos[0], pos[1])
-    dist01 = _norm3(delta01)
-    r_sum01 = sc.o_radius[0] + sc.o_radius[1]
-    pen01 = jnp.maximum(r_sum01 - dist01, 0.0)
-    both = ((sc.o_exists[0] > 0) & (sc.o_exists[1] > 0)
-            & (sc.link_enable == 0))
-    n01 = _scale3(delta01, 1.0 / jnp.maximum(dist01, 1e-9))
-    mobile = [(st["attached"][i] == 0) & ~pinned_anchor[i] & (sc.o_exists[i] > 0)
-              for i in range(MAX_OBJ)]
-    w_tot = jnp.maximum(mobile[0] + mobile[1] * 1.0, 1.0)
-    w = [mobile[i] / w_tot for i in range(2)]
-    active01 = both & (pen01 > 0.0)
-    pen_act = jnp.where(active01, pen01, 0.0)
-    pos[0] = _add3(pos[0], _scale3(n01, pen_act * w[0]))
-    pos[1] = _sub3(pos[1], _scale3(n01, pen_act * w[1]))
-    v_n01 = _dot3(_sub3(vel[0], vel[1]), n01)
-    approaching = v_n01 < 0.0
-    vn_act = jnp.where(active01 & approaching, v_n01, 0.0)
-    vel[0] = _sub3(vel[0], _scale3(n01, vn_act * w[0]))
-    vel[1] = _add3(vel[1], _scale3(n01, vn_act * w[1]))
-
-    # --- static boxes (engine.py:612-628) ---
-    def _box_contacts(p, r):
-        return _sum3([
-            _scale3(_sphere_box_pushout(p, r, bp, bs)[0], sc.s_exists[s])
-            for s, (bp, bs) in enumerate(boxes)
-        ])
-
-    for i in range(MAX_OBJ):
-        corr = _box_contacts(pos[i], sc.o_radius[i])
-        pos[i] = _add3(pos[i], _scale3(corr, free_old[i]))
-        corr_n = _safe_normalize3(corr)
-        v_into = jnp.minimum(_dot3(vel[i], corr_n), 0.0)
-        hit_box = (_norm3(corr) > 1e-9) & free_old[i]
-        vel[i] = _where3(hit_box, _sub3(vel[i], _scale3(corr_n, v_into)), vel[i])
-
-    # --- ground / pit support (engine.py:630-650) ---
-    for i in range(MAX_OBJ):
-        p, v3 = pos[i], vel[i]
-        sz = _support_z(sc, p[0], p[1])
-        below = p[2] - sc.o_half_h[i] < sz
-        p = (p[0], p[1], p[2] + jnp.where(below, sz + sc.o_half_h[i] - p[2], 0.0))
-        vz_new = jnp.where(below & (v3[2] < 0.0), 0.0, v3[2])
-        speed = _norm2(v3[0], v3[1])
-        dec = sc.fric[i] * _GRAVITY * dt
-        scl = jnp.where(speed > 1e-9,
-                        jnp.maximum(speed - dec, 0.0) / jnp.maximum(speed, 1e-9),
-                        0.0)
-        xy_scale = jnp.where(below, scl, 1.0)
-        v3 = (v3[0] * xy_scale, v3[1] * xy_scale, vz_new)
-        pos[i] = _where3(free_old[i], p, pos[i])
-        vel[i] = _where3(free_old[i], v3, vel[i])
-
-    # --- planar pinning (engine.py:652-658) ---
-    for i in range(MAX_OBJ):
-        sz_pl = _support_z(sc, pos[i][0], pos[i][1])
-        z_pin = sz_pl + sc.o_half_h[i]
-        pin = sc.o_planar[i] & free_old[i]
-        pos[i] = (pos[i][0], pos[i][1], jnp.where(pin, z_pin, pos[i][2]))
-        vel[i] = (vel[i][0], vel[i][1], jnp.where(pin, 0.0, vel[i][2]))
-
-    # --- limited slide joints (engine.py:660-682) ---
-    for i in range(MAX_OBJ):
-        lim_on = sc.o_xy_limited[i] * free_old[i]
-        side_held = pad_side_hit[0][i] | pad_side_hit[1][i]
-        vx, vy, vz = vel[i]
-        for k in range(2):
-            viol = (jnp.minimum(pos[i][k] - sc.o_xy_lo[i][k], 0.0)
-                    + jnp.maximum(pos[i][k] - sc.o_xy_hi[i][k], 0.0))
-            outside = lim_on * (jnp.abs(viol) > 0.0)
-            comp = (vx, vy)[k]
-            comp = comp - _K_SLIDE_LIM * viol * dt * lim_on * (1.0 - side_held)
-            comp = comp * (1.0 - outside * _D_SLIDE_DECAY)
-            if k == 0:
-                vx = comp
-            else:
-                vy = comp
-        vel[i] = (vx, vy, vz)
-
-    # --- jam back-reaction (engine.py:684-721) ---
-    jam_corr = (0.0, 0.0, 0.0)
-    for kin_c in (left, right):
+        # --- planar pinning (engine.py:652-658) ---
         for i in range(MAX_OBJ):
-            obj_half = (sc.o_half_x[i], sc.o_radius[i], sc.o_half_h[i])
-            d = _sub3(kin_c, pos[i])
-            pen = tuple(_PAD_HALF[k] + obj_half[k] - jnp.abs(d[k])
-                        for k in range(3))
-            hit = (
-                (pen[0] > 0.0) & (pen[1] > 0.0) & (pen[2] > 0.0)
-                & (sc.o_exists[i] > 0) & (sc.o_graspable[i] == 0)
-                & (st["attached"][i] == 0) & (sc.o_type[i] != ObjType.SPHERE)
+            sz_pl = _support_z(sc, pos[i][0], pos[i][1])
+            z_pin = sz_pl + sc.o_half_h[i]
+            pin = sc.o_planar[i] & free_old[i]
+            pos[i] = (pos[i][0], pos[i][1], jnp.where(pin, z_pin, pos[i][2]))
+            vel[i] = (vel[i][0], vel[i][1], jnp.where(pin, 0.0, vel[i][2]))
+
+        # --- limited slide joints (engine.py:660-682) ---
+        for i in range(MAX_OBJ):
+            lim_on = sc.o_xy_limited[i] * free_old[i]
+            side_held = pad_side_hit[0][i] | pad_side_hit[1][i]
+            vx, vy, vz = vel[i]
+            for k in range(2):
+                viol = (jnp.minimum(pos[i][k] - sc.o_xy_lo[i][k], 0.0)
+                        + jnp.maximum(pos[i][k] - sc.o_xy_hi[i][k], 0.0))
+                outside = lim_on * (jnp.abs(viol) > 0.0)
+                comp = (vx, vy)[k]
+                comp = comp - _K_SLIDE_LIM * viol * dt * lim_on * (1.0 - side_held)
+                comp = comp * (1.0 - outside * _D_SLIDE_DECAY)
+                if k == 0:
+                    vx = comp
+                else:
+                    vy = comp
+            vel[i] = (vx, vy, vz)
+
+        # --- jam back-reaction (engine.py:684-721) ---
+        jam_corr = (0.0, 0.0, 0.0)
+        for kin_c in (left, right):
+            for i in range(MAX_OBJ):
+                obj_half = (sc.o_half_x[i], sc.o_radius[i], sc.o_half_h[i])
+                d = _sub3(kin_c, pos[i])
+                pen = tuple(_PAD_HALF[k] + obj_half[k] - jnp.abs(d[k])
+                            for k in range(3))
+                hit = (
+                    (pen[0] > 0.0) & (pen[1] > 0.0) & (pen[2] > 0.0)
+                    & (sc.o_exists[i] > 0) & (sc.o_graspable[i] == 0)
+                    & (st["attached"][i] == 0) & (sc.o_type[i] != ObjType.SPHERE)
+                )
+                pick0, pick1, _ = _argmin3(*pen)
+                d_axis = _sel3(pick0, pick1, d[0], d[1], d[2])
+                sgn = jnp.where(d_axis >= 0, 1.0, -1.0)
+                mag = jnp.where(hit, _sel3(pick0, pick1, pen[0], pen[1], pen[2]), 0.0)
+                jam_corr = _add3(jam_corr, (
+                    jnp.where(pick0, mag * sgn, 0.0),
+                    jnp.where(pick1, mag * sgn, 0.0),
+                    jnp.where(pick0 | pick1, 0.0, mag * sgn)))
+        jc_n = _norm3(jam_corr)
+        move_h = _norm3(_sub3(new_hand, hand0))
+        jam_corr = _scale3(
+            jam_corr, jnp.minimum(1.0, (move_h + 0.0005) / jnp.maximum(jc_n, 1e-9)))
+        new_hand = _add3(new_hand, jam_corr)
+        hand_vel = tuple((new_hand[k] - hand0[k]) / dt for k in range(3))
+
+        # --- attached objects ride the hand (engine.py:723-786) ---
+        att_pos = [_add3(new_hand, attach_off[i]) for i in range(MAX_OBJ)]
+        att_support = [_support_z(sc, att_pos[i][0], att_pos[i][1])
+                       for i in range(MAX_OBJ)]
+        att_z = [jnp.maximum(att_pos[i][2], att_support[i] + sc.o_half_h[i])
+                 for i in range(MAX_OBJ)]
+        tool_prev = _add3(st["obj_pos"][0], _qrot(st["obj_quat"][0], sc.o_tool_off[0]))
+        handle_prev = _add3(st["obj_pos"][1], sc.link_handle_off)
+        linked_prev = (
+            (sc.link_enable > 0)
+            & (tool_prev[0] >= handle_prev[0])
+            & (jnp.abs(tool_prev[1] - handle_prev[1]) <= 0.045)
+            & (jnp.abs(tool_prev[2] - handle_prev[2]) <= 0.065)
+        )
+        att_z[0] = att_z[0] + jnp.where(
+            linked_prev,
+            jnp.maximum(att_z[0], handle_prev[2] - 0.04) - att_z[0], 0.0)
+        for i in range(MAX_OBJ):
+            pinned = (attached[i] > 0) & (att_pos[i][2] < att_z[i] - 1e-9)
+            off_z_new = jnp.where(pinned, att_z[i] - new_hand[2], attach_off[i][2])
+            attach_off[i] = (attach_off[i][0], attach_off[i][1], off_z_new)
+            att_pos[i] = (att_pos[i][0], att_pos[i][1], att_z[i])
+        # climb over shallow walls (engine.py:766-780)
+        for i in range(MAX_OBJ):
+            climb_vals = []
+            for s, (bp, bs) in enumerate(boxes):
+                _, n, pen = _sphere_box_pushout(att_pos[i], sc.o_radius[i], bp, bs)
+                pen_up = (bp[2] + bs[2] + sc.o_radius[i]) - att_pos[i][2]
+                lateral = jnp.abs(n[2]) < 0.5
+                ok = ((sc.s_exists[s] > 0) & lateral & (pen > 1e-6)
+                      & (pen_up > 0.0) & (pen_up < 0.045))
+                climb_vals.append(jnp.where(ok, jnp.minimum(pen_up, 0.0015), 0.0))
+            climb = climb_vals[0]
+            for cv in climb_vals[1:]:
+                climb = jnp.maximum(climb, cv)
+            climb = climb * attached[i]
+            att_pos[i] = (att_pos[i][0], att_pos[i][1], att_pos[i][2] + climb)
+            attach_off[i] = (attach_off[i][0], attach_off[i][1],
+                             attach_off[i][2] + climb)
+        for i in range(MAX_OBJ):
+            corr_att = _box_contacts(att_pos[i], sc.o_radius[i])
+            corr_att = _scale3(corr_att, (attached[i] > 0))
+            att_pos[i] = _add3(att_pos[i], corr_att)
+            new_hand = _add3(new_hand, corr_att)
+        for i in range(MAX_OBJ):
+            pos[i] = _where3(attached[i] > 0, att_pos[i], pos[i])
+            vel[i] = _where3(attached[i] > 0, hand_vel, vel[i])
+
+        # --- rotational dynamics (engine.py:788-833) ---
+        quat, omega_out = [], []
+        for i in range(MAX_OBJ):
+            sz_u = _support_z(sc, pos[i][0], pos[i][1])
+            on_ground = (pos[i][2] - sc.o_half_h[i]) <= (sz_u + 1e-4)
+            is_sph = sc.is_sphere[i]
+            free_rot = (attached[i] == 0) & (sc.o_exists[i] > 0) & ~pinned_anchor[i]
+            om = st["obj_angvel"][i]
+            inv_r = 1.0 / jnp.maximum(sc.o_radius[i], 1e-6)
+            roll_w = (-vel[i][1] * inv_r, vel[i][0] * inv_r, 0.0 * vel[i][2])
+            om = _where3(is_sph & on_ground & free_rot, roll_w, om)
+            om = _where3(~is_sph & on_ground & free_rot, _scale3(om, _OMEGA_DECAY), om)
+            keep = free_rot & (sc.o_exists[i] > 0)
+            om = tuple(om[k] * keep for k in range(3))
+            q = _qintegrate(st["obj_quat"][i], om, dt)
+            twist = (q[0], 0.0 * q[1], 0.0 * q[2], q[3])
+            tn = jnp.sqrt(jnp.maximum(_dot4(twist, twist), 1e-24))
+            ident = (jnp.ones_like(q[0]), 0.0 * q[1], 0.0 * q[2], 0.0 * q[3])
+            twist = _where4(tn > 0.05,
+                            tuple(t / tn for t in twist), ident)
+            righted = _qnlerp(q, twist, _ALPHA_R)
+            q = _where4(~is_sph & on_ground & free_rot, righted, q)
+            droop_on = jnp.where(sc.link_enable > 0,
+                                 jnp.where(linked_prev, 1.0, 0.0), 1.0)
+            theta_eq = sc.o_droop[i] * droop_on
+            half = theta_eq / 2.0
+            q_droop = (jnp.cos(half), 0.0 * half, jnp.sin(half), 0.0 * half)
+            drooped = _qnlerp(q, q_droop, _ALPHA_D)
+            q = _where4(attached[i] > 0, drooped, q)
+            quat.append(q)
+            omega_out.append(om)
+
+        # --- tool link (engine.py:835-857) ---
+        tool_pt = _add3(pos[0], _qrot(quat[0], sc.o_tool_off[0]))
+        handle_pt = _add3(pos[1], sc.link_handle_off)
+        linked = (
+            (sc.link_enable > 0)
+            & (tool_pt[0] >= handle_pt[0])
+            & (jnp.abs(tool_pt[1] - handle_pt[1]) <= 0.040)
+            & (jnp.abs(tool_pt[2] - handle_pt[2]) <= 0.060)
+        )
+        dy_link = tool_pt[1] - handle_pt[1]
+        corr_link = (
+            jnp.minimum(tool_pt[0] - handle_pt[0], 0.0),
+            dy_link - jnp.clip(dy_link, -0.03, 0.03),
+            0.0 * dy_link,
+        )
+        lk = jnp.where(linked, 1.0, 0.0)
+        pos[1] = _add3(pos[1], _scale3(corr_link, lk))
+
+    else:
+        pos = [st["obj_pos"][i] for i in range(MAX_OBJ)]
+        vel = [st["obj_vel"][i] for i in range(MAX_OBJ)]
+        quat = [st["obj_quat"][i] for i in range(MAX_OBJ)]
+        omega_out = [st["obj_angvel"][i] for i in range(MAX_OBJ)]
+        attached = [st["attached"][i] for i in range(MAX_OBJ)]
+        attach_off = [st["attach_off"][i] for i in range(MAX_OBJ)]
+        unanchored = [st["unanchored"][i] for i in range(MAX_OBJ)]
+        pad_push_depth = None
+
+
+    if with_joints:
+        # --- fixture free dynamics (engine.py:859-893) ---
+        q_free, qv_j, grav_terms = [], [], []
+        for j in range(MAX_JOINT):
+            qj, qvj = st["joint_q"][j], st["joint_v"][j]
+            q_rot = _axquat(sc.j_axis[j], qj)
+            com_arm = _qrot(q_rot, sc.j_com[j])
+            hinge_d = _cross3(sc.j_axis[j], com_arm)
+            dcom_dq_z = jnp.where(sc.is_hinge[j], hinge_d[2], sc.j_axis[j][2])
+            grav_q = -sc.j_mass[j] * _GRAVITY * dcom_dq_z
+            f_ext = (grav_q + sc.j_bias[j]
+                     - sc.j_stiffness[j] * (qj - sc.j_springref[j]))
+            M_j = jnp.maximum(sc.j_inertia[j], 1e-6)
+            c_j = sc.j_damping[j]
+            decay = sc.j_decay[j]
+            qvj = jnp.where(
+                c_j > 1e-9,
+                qvj * decay + (f_ext / jnp.maximum(c_j, 1e-9)) * (1.0 - decay),
+                qvj + (f_ext / M_j) * dt,
             )
-            pick0, pick1, _ = _argmin3(*pen)
-            d_axis = _sel3(pick0, pick1, d[0], d[1], d[2])
-            sgn = jnp.where(d_axis >= 0, 1.0, -1.0)
-            mag = jnp.where(hit, _sel3(pick0, pick1, pen[0], pen[1], pen[2]), 0.0)
-            jam_corr = _add3(jam_corr, (
-                jnp.where(pick0, mag * sgn, 0.0),
-                jnp.where(pick1, mag * sgn, 0.0),
-                jnp.where(pick0 | pick1, 0.0, mag * sgn)))
-    jc_n = _norm3(jam_corr)
-    move_h = _norm3(_sub3(new_hand, hand0))
-    jam_corr = _scale3(
-        jam_corr, jnp.minimum(1.0, (move_h + 0.0005) / jnp.maximum(jc_n, 1e-9)))
-    new_hand = _add3(new_hand, jam_corr)
-    hand_vel = tuple((new_hand[k] - hand0[k]) / dt for k in range(3))
+            qv_j.append(qvj)
+            q_free.append(qj + qvj * dt)
 
-    # --- attached objects ride the hand (engine.py:723-786) ---
-    att_pos = [_add3(new_hand, attach_off[i]) for i in range(MAX_OBJ)]
-    att_support = [_support_z(sc, att_pos[i][0], att_pos[i][1])
-                   for i in range(MAX_OBJ)]
-    att_z = [jnp.maximum(att_pos[i][2], att_support[i] + sc.o_half_h[i])
-             for i in range(MAX_OBJ)]
-    tool_prev = _add3(st["obj_pos"][0], _qrot(st["obj_quat"][0], sc.o_tool_off[0]))
-    handle_prev = _add3(st["obj_pos"][1], sc.link_handle_off)
-    linked_prev = (
-        (sc.link_enable > 0)
-        & (tool_prev[0] >= handle_prev[0])
-        & (jnp.abs(tool_prev[1] - handle_prev[1]) <= 0.045)
-        & (jnp.abs(tool_prev[2] - handle_prev[2]) <= 0.065)
-    )
-    att_z[0] = att_z[0] + jnp.where(
-        linked_prev,
-        jnp.maximum(att_z[0], handle_prev[2] - 0.04) - att_z[0], 0.0)
-    for i in range(MAX_OBJ):
-        pinned = (attached[i] > 0) & (att_pos[i][2] < att_z[i] - 1e-9)
-        off_z_new = jnp.where(pinned, att_z[i] - new_hand[2], attach_off[i][2])
-        attach_off[i] = (attach_off[i][0], attach_off[i][1], off_z_new)
-        att_pos[i] = (att_pos[i][0], att_pos[i][1], att_z[i])
-    # climb over shallow walls (engine.py:766-780)
-    for i in range(MAX_OBJ):
-        climb_vals = []
-        for s, (bp, bs) in enumerate(boxes):
-            _, n, pen = _sphere_box_pushout(att_pos[i], sc.o_radius[i], bp, bs)
-            pen_up = (bp[2] + bs[2] + sc.o_radius[i]) - att_pos[i][2]
-            lateral = jnp.abs(n[2]) < 0.5
-            ok = ((sc.s_exists[s] > 0) & lateral & (pen > 1e-6)
-                  & (pen_up > 0.0) & (pen_up < 0.045))
-            climb_vals.append(jnp.where(ok, jnp.minimum(pen_up, 0.0015), 0.0))
-        climb = climb_vals[0]
-        for cv in climb_vals[1:]:
-            climb = jnp.maximum(climb, cv)
-        climb = climb * attached[i]
-        att_pos[i] = (att_pos[i][0], att_pos[i][1], att_pos[i][2] + climb)
-        attach_off[i] = (attach_off[i][0], attach_off[i][1],
-                         attach_off[i][2] + climb)
-    for i in range(MAX_OBJ):
-        corr_att = _box_contacts(att_pos[i], sc.o_radius[i])
-        corr_att = _scale3(corr_att, (attached[i] > 0))
-        att_pos[i] = _add3(att_pos[i], corr_att)
-        new_hand = _add3(new_hand, corr_att)
-    for i in range(MAX_OBJ):
-        pos[i] = _where3(attached[i] > 0, att_pos[i], pos[i])
-        vel[i] = _where3(attached[i] > 0, hand_vel, vel[i])
+        handle = [_handle_pos(sc, j, fixture, q_free[j]) for j in range(MAX_JOINT)]
+        motion = [_motion_dir(sc, j, q_free[j]) for j in range(MAX_JOINT)]
 
-    # --- rotational dynamics (engine.py:788-833) ---
-    quat, omega_out = [], []
-    for i in range(MAX_OBJ):
-        sz_u = _support_z(sc, pos[i][0], pos[i][1])
-        on_ground = (pos[i][2] - sc.o_half_h[i]) <= (sz_u + 1e-4)
-        is_sph = sc.is_sphere[i]
-        free_rot = (attached[i] == 0) & (sc.o_exists[i] > 0) & ~pinned_anchor[i]
-        om = st["obj_angvel"][i]
-        inv_r = 1.0 / jnp.maximum(sc.o_radius[i], 1e-6)
-        roll_w = (-vel[i][1] * inv_r, vel[i][0] * inv_r, 0.0 * vel[i][2])
-        om = _where3(is_sph & on_ground & free_rot, roll_w, om)
-        om = _where3(~is_sph & on_ground & free_rot, _scale3(om, _OMEGA_DECAY), om)
-        keep = free_rot & (sc.o_exists[i] > 0)
-        om = tuple(om[k] * keep for k in range(3))
-        q = _qintegrate(st["obj_quat"][i], om, dt)
-        twist = (q[0], 0.0 * q[1], 0.0 * q[2], q[3])
-        tn = jnp.sqrt(jnp.maximum(_dot4(twist, twist), 1e-24))
-        ident = (jnp.ones_like(q[0]), 0.0 * q[1], 0.0 * q[2], 0.0 * q[3])
-        twist = _where4(tn > 0.05,
-                        tuple(t / tn for t in twist), ident)
-        righted = _qnlerp(q, twist, _ALPHA_R)
-        q = _where4(~is_sph & on_ground & free_rot, righted, q)
-        droop_on = jnp.where(sc.link_enable > 0,
-                             jnp.where(linked_prev, 1.0, 0.0), 1.0)
-        theta_eq = sc.o_droop[i] * droop_on
-        half = theta_eq / 2.0
-        q_droop = (jnp.cos(half), 0.0 * half, jnp.sin(half), 0.0 * half)
-        drooped = _qnlerp(q, q_droop, _ALPHA_D)
-        q = _where4(attached[i] > 0, drooped, q)
-        quat.append(q)
-        omega_out.append(om)
+        # --- hook engage / release (engine.py:904-1000) ---
+        tcp_mid = (new_hand[0], new_hand[1], new_hand[2] + PAD_Z_OFFSET * 0.6)
+        hooked, hook_off, hook_hoff = [], [], []
+        in_claw_j, q_inv_j, gap_perp_j, d_xy_j, d_z_j = [], [], [], [], []
+        gap_w = _sub3(target, new_hand)
+        for j in range(MAX_JOINT):
+            rel_h = _sub3(handle[j], new_hand)
+            d_xy = _norm2(rel_h[0], rel_h[1])
+            d_z = rel_h[2]
+            in_claw = (d_xy < 0.055) & (d_z > -0.06) & (d_z < 0.10)
+            q_inv = _fixture_inverse(sc, j, fixture, tcp_mid)
+            dq_cap = st["joint_q"][j] - q_inv
+            dq_cap = jnp.where(
+                sc.is_hinge[j],
+                jnp.mod(dq_cap + jnp.pi, 2.0 * jnp.pi) - jnp.pi,
+                dq_cap,
+            )
+            gp = _sub3(gap_w, _scale3(motion[j], _dot3(gap_w, motion[j])))
+            gap_perp_n = _norm3(gp)
+            hook_now = (
+                (sc.j_hookable[j] > 0)
+                & in_claw
+                & (jnp.abs(dq_cap) <= sc.j_off_cap[j])
+                & (effort > 0.0)
+                & (gripper < 0.9)
+                & (gap_perp_n < _HOOK_SLIP - 0.03)
+            )
+            newly_hooked = hook_now & (st["hooked"][j] == 0)
+            ho = jnp.where(newly_hooked, dq_cap, st["hook_off"][j])
+            hk = jnp.where(hook_now, 1.0, st["hooked"][j])
+            q_rot_now = _axquat(sc.j_axis[j], -st["joint_q"][j])
+            off_local_now = _qrot(q_rot_now, _sub3(new_hand, handle[j]))
+            off_local_now = _where3(sc.is_hinge[j], off_local_now,
+                                    _sub3(new_hand, handle[j]))
+            hh = _where3(newly_hooked, off_local_now, st["hook_hoff"][j])
+            vert = jnp.abs(_motion_dir(sc, j, st["joint_q"][j])[2])
+            wedge = jnp.where((effort > 0.0) & (hk > 0), _WEDGE_A * vert, 0.0)
+            ho = ho * (1.0 - wedge)
+            slip = (gap_perp_n > _HOOK_SLIP) | (_norm3(gap_w) > 2.0 * _HOOK_SLIP)
+            unhook = ((effort <= 0.0) | (d_xy > 0.12) | (d_z < -0.15) | (d_z > 0.2)
+                      | slip)
+            hk = jnp.where(unhook, 0.0, hk) * sc.j_exists[j]
+            hooked.append(hk)
+            hook_off.append(ho)
+            hook_hoff.append(hh)
+            in_claw_j.append(in_claw)
+            q_inv_j.append(q_inv)
+            gap_perp_j.append(gap_perp_n)
+            d_xy_j.append(d_xy)
+            d_z_j.append(d_z)
 
-    # --- tool link (engine.py:835-857) ---
-    tool_pt = _add3(pos[0], _qrot(quat[0], sc.o_tool_off[0]))
-    handle_pt = _add3(pos[1], sc.link_handle_off)
-    linked = (
-        (sc.link_enable > 0)
-        & (tool_pt[0] >= handle_pt[0])
-        & (jnp.abs(tool_pt[1] - handle_pt[1]) <= 0.040)
-        & (jnp.abs(tool_pt[2] - handle_pt[2]) <= 0.060)
-    )
-    dy_link = tool_pt[1] - handle_pt[1]
-    corr_link = (
-        jnp.minimum(tool_pt[0] - handle_pt[0], 0.0),
-        dy_link - jnp.clip(dy_link, -0.03, 0.03),
-        0.0 * dy_link,
-    )
-    lk = jnp.where(linked, 1.0, 0.0)
-    pos[1] = _add3(pos[1], _scale3(corr_link, lk))
+        # --- press contacts (engine.py:1002-1257) ---
+        knuckle = (new_hand[0], new_hand[1], new_hand[2] + 0.105)
+        knuckle_prev = (hand0[0], hand0[1], hand0[2] + 0.105)
+        left_prev, right_prev = _pad_centers(hand0, st["gripper"])
+        q_rot_free = [_axquat(sc.j_axis[j], q_free[j]) for j in range(MAX_JOINT)]
+        press_pt_off = [_qrot(q_rot_free[j], sc.j_press_off[j])
+                        for j in range(MAX_JOINT)]
+        press_fd = [_qrot(q_rot_free[j], sc.j_face_dir[j]) for j in range(MAX_JOINT)]
+        # gate vs the true fully-closed floor (gap = 0.03), see engine.py
+        pad_gap = gripper * GRIPPER_FULL_OPEN - PAD_GAP_INSET
+        tip_active = jnp.clip((0.049 - pad_gap) / 0.02, 0.0, 1.0)
 
-    # --- fixture free dynamics (engine.py:859-893) ---
-    q_free, qv_j, grav_terms = [], [], []
-    for j in range(MAX_JOINT):
-        qj, qvj = st["joint_q"][j], st["joint_v"][j]
-        q_rot = _axquat(sc.j_axis[j], qj)
-        com_arm = _qrot(q_rot, sc.j_com[j])
-        hinge_d = _cross3(sc.j_axis[j], com_arm)
-        dcom_dq_z = jnp.where(sc.is_hinge[j], hinge_d[2], sc.j_axis[j][2])
-        grav_q = -sc.j_mass[j] * _GRAVITY * dcom_dq_z
-        f_ext = (grav_q + sc.j_bias[j]
-                 - sc.j_stiffness[j] * (qj - sc.j_springref[j]))
-        M_j = jnp.maximum(sc.j_inertia[j], 1e-6)
-        c_j = sc.j_damping[j]
-        decay = sc.j_decay[j]
-        qvj = jnp.where(
-            c_j > 1e-9,
-            qvj * decay + (f_ext / jnp.maximum(c_j, 1e-9)) * (1.0 - decay),
-            qvj + (f_ext / M_j) * dt,
-        )
-        qv_j.append(qvj)
-        q_free.append(qj + qvj * dt)
+        def _vel_bounds(j, live, side, center, center_prev, lv, weight):
+            vn_q = _dot3(_sub3(center, center_prev), motion[j]) / dt / lv
+            act = live & (weight > 0.25)
+            hi = jnp.where(act & (side > 0.0), vn_q, _BIG_QV)
+            lo = jnp.where(act & (side < 0.0), vn_q, -_BIG_QV)
+            return hi, lo
 
-    handle = [_handle_pos(sc, j, fixture, q_free[j]) for j in range(MAX_JOINT)]
-    motion = [_motion_dir(sc, j, q_free[j]) for j in range(MAX_JOINT)]
+        def sphere_part(j, center, center_prev, r_part, station=None,
+                        station_lever=None, weight=1.0, r_face=None):
+            pt0 = _add3(handle[j], press_pt_off[j]) if station is None else station
+            lv = sc.lever[j] if station_lever is None else station_lever
+            face_r = sc.j_handle_radius[j] if r_face is None else r_face
+            s_near = jnp.clip(_dot3(_sub3(center, pt0), press_fd[j]),
+                              -sc.j_face_radius[j], sc.j_face_radius[j])
+            pt = _where3(sc.has_bar[j], _add3(pt0, _scale3(press_fd[j], s_near)), pt0)
+            d3 = _sub3(center, pt)
+            u = _dot3(d3, motion[j])
+            u_prev = _dot3(_sub3(center_prev, pt), motion[j])
+            side = jnp.where(jnp.abs(u_prev) > 1e-9, jnp.sign(u_prev), jnp.sign(u))
+            side = jnp.where(side == 0.0, 1.0, side)
+            perp = _sub3(d3, _scale3(motion[j], u))
+            pd = _norm3(perp)
+            r_sum = face_r + r_part
+            eff_r = jnp.where(
+                sc.has_bar[j],
+                jnp.sqrt(jnp.maximum(r_sum * r_sum - pd * pd, 1e-24)),
+                r_sum,
+            )
+            in_face = (sc.has_bar[j] & (pd < r_sum)) | (
+                ~sc.has_bar[j] & (pd < sc.j_face_radius[j] + 0.6 * r_part))
+            pen = eff_r - side * u
+            live = in_face & (pen > 0.0) & (side * u > -r_sum)
+            du = _dot3(_sub3(center, center_prev), motion[j])
+            move_cap = jnp.maximum(-side * du, 0.0) + 0.0005
+            pen = jnp.minimum(pen, move_cap)
+            dq_p = weight * jnp.where(live, -side * pen, 0.0) / lv
+            return (dq_p, *_vel_bounds(j, live, side, center, center_prev, lv, weight))
 
-    # --- hook engage / release (engine.py:904-1000) ---
-    tcp_mid = (new_hand[0], new_hand[1], new_hand[2] + PAD_Z_OFFSET * 0.6)
-    hooked, hook_off, hook_hoff = [], [], []
-    in_claw_j, q_inv_j, gap_perp_j, d_xy_j, d_z_j = [], [], [], [], []
-    gap_w = _sub3(target, new_hand)
-    for j in range(MAX_JOINT):
-        rel_h = _sub3(handle[j], new_hand)
-        d_xy = _norm2(rel_h[0], rel_h[1])
-        d_z = rel_h[2]
-        in_claw = (d_xy < 0.055) & (d_z > -0.06) & (d_z < 0.10)
-        q_inv = _fixture_inverse(sc, j, fixture, tcp_mid)
-        dq_cap = st["joint_q"][j] - q_inv
-        dq_cap = jnp.where(
-            sc.is_hinge[j],
-            jnp.mod(dq_cap + jnp.pi, 2.0 * jnp.pi) - jnp.pi,
-            dq_cap,
-        )
-        gp = _sub3(gap_w, _scale3(motion[j], _dot3(gap_w, motion[j])))
-        gap_perp_n = _norm3(gp)
-        hook_now = (
-            (sc.j_hookable[j] > 0)
-            & in_claw
-            & (jnp.abs(dq_cap) <= sc.j_off_cap[j])
-            & (effort > 0.0)
-            & (gripper < 0.9)
-            & (gap_perp_n < _HOOK_SLIP - 0.03)
-        )
-        newly_hooked = hook_now & (st["hooked"][j] == 0)
-        ho = jnp.where(newly_hooked, dq_cap, st["hook_off"][j])
-        hk = jnp.where(hook_now, 1.0, st["hooked"][j])
-        q_rot_now = _axquat(sc.j_axis[j], -st["joint_q"][j])
-        off_local_now = _qrot(q_rot_now, _sub3(new_hand, handle[j]))
-        off_local_now = _where3(sc.is_hinge[j], off_local_now,
-                                _sub3(new_hand, handle[j]))
-        hh = _where3(newly_hooked, off_local_now, st["hook_hoff"][j])
-        vert = jnp.abs(_motion_dir(sc, j, st["joint_q"][j])[2])
-        wedge = jnp.where((effort > 0.0) & (hk > 0), _WEDGE_A * vert, 0.0)
-        ho = ho * (1.0 - wedge)
-        slip = (gap_perp_n > _HOOK_SLIP) | (_norm3(gap_w) > 2.0 * _HOOK_SLIP)
-        unhook = ((effort <= 0.0) | (d_xy > 0.12) | (d_z < -0.15) | (d_z > 0.2)
-                  | slip)
-        hk = jnp.where(unhook, 0.0, hk) * sc.j_exists[j]
-        hooked.append(hk)
-        hook_off.append(ho)
-        hook_hoff.append(hh)
-        in_claw_j.append(in_claw)
-        q_inv_j.append(q_inv)
-        gap_perp_j.append(gap_perp_n)
-        d_xy_j.append(d_xy)
-        d_z_j.append(d_z)
+        def box_part(j, center, center_prev, half, bar_only=False, weight=1.0):
+            pt0 = _add3(handle[j], press_pt_off[j])
+            s_near = jnp.clip(_dot3(_sub3(center, pt0), press_fd[j]),
+                              -sc.j_face_radius[j], sc.j_face_radius[j])
+            pt = _where3(sc.has_bar[j], _add3(pt0, _scale3(press_fd[j], s_near)), pt0)
+            d3 = _sub3(center, pt)
+            u = _dot3(d3, motion[j])
+            u_prev = _dot3(_sub3(center_prev, pt), motion[j])
+            side = jnp.where(jnp.abs(u_prev) > 1e-9, jnp.sign(u_prev), jnp.sign(u))
+            side = jnp.where(side == 0.0, 1.0, side)
+            h_m = (half[0] * jnp.abs(motion[j][0]) + half[1] * jnp.abs(motion[j][1])
+                   + half[2] * jnp.abs(motion[j][2]))
+            rel = _sub3(pt, center)
+            closest = tuple(jnp.clip(rel[k], -half[k], half[k]) for k in range(3))
+            gap_vec = tuple(rel[k] - closest[k] for k in range(3))
+            gap_lat = _sub3(gap_vec, _scale3(motion[j], _dot3(gap_vec, motion[j])))
+            lat_r = jnp.where(sc.has_bar[j], sc.j_handle_radius[j],
+                              sc.j_face_radius[j])
+            lat_ok = _norm3(gap_lat) <= lat_r
+            depth = h_m + sc.j_handle_radius[j]
+            live = lat_ok & (side * u > -depth)
+            if bar_only:
+                live = live & sc.has_bar[j]
+            pen = depth - side * u
+            live = live & (pen > 0.0)
+            du = _dot3(_sub3(center, center_prev), motion[j])
+            pen = jnp.minimum(pen, jnp.maximum(-side * du, 0.0) + 0.0005)
+            dq_p = weight * jnp.where(live, -side * pen, 0.0) / sc.lever[j]
+            return (dq_p,
+                    *_vel_bounds(j, live, side, center, center_prev, sc.lever[j],
+                                 weight))
 
-    # --- press contacts (engine.py:1002-1257) ---
-    knuckle = (new_hand[0], new_hand[1], new_hand[2] + 0.105)
-    knuckle_prev = (hand0[0], hand0[1], hand0[2] + 0.105)
-    left_prev, right_prev = _pad_centers(hand0, st["gripper"])
-    q_rot_free = [_axquat(sc.j_axis[j], q_free[j]) for j in range(MAX_JOINT)]
-    press_pt_off = [_qrot(q_rot_free[j], sc.j_press_off[j])
-                    for j in range(MAX_JOINT)]
-    press_fd = [_qrot(q_rot_free[j], sc.j_face_dir[j]) for j in range(MAX_JOINT)]
-    pad_gap = gripper * GRIPPER_FULL_OPEN - PAD_GAP_INSET
-    tip_active = jnp.clip((0.025 - pad_gap) / 0.02, 0.0, 1.0)
+        parts_j = [[] for _ in range(MAX_JOINT)]
+        for j in range(MAX_JOINT):
+            parts = parts_j[j]
+            parts.append(sphere_part(j, new_hand, hand0, 0.012, weight=tip_active))
+            ks = sphere_part(j, knuckle, knuckle_prev, 0.012)
+            kb = box_part(j, knuckle, knuckle_prev, _KNUCKLE_HALF, bar_only=True)
+            parts.append(tuple(jnp.where(sc.has_bar[j], b, s)
+                               for s, b in zip(ks, kb)))
+            left_press, right_press = _pad_centers(new_hand, gripper)
+            parts.append(box_part(j, left_press, left_prev, _PLATE_HALF))
+            parts.append(box_part(j, right_press, right_prev, _PLATE_HALF))
+            rail = (new_hand[0], new_hand[1], new_hand[2] + 0.095)
+            rail_prev = (hand0[0], hand0[1], hand0[2] + 0.095)
+            parts.append(box_part(j, rail, rail_prev, _RAIL_HALF))
+            if with_objects:
+                for i in range(MAX_OBJ):
+                    tool_i = _add3(pos[i], _qrot(quat[i], sc.o_tool_off[i]))
+                    tool_i_prev = _add3(st["obj_pos"][i],
+                                        _qrot(st["obj_quat"][i], sc.o_tool_off[i]))
+                    parts.append(sphere_part(j, tool_i, tool_i_prev, 0.02,
+                                             weight=sc.o_exists[i]))
+            # panel stations (engine.py:1218-1236)
+            pivot_w = _add3(fixture, sc.j_anchor[j])
+            panel_shift = _scale3(motion[j], sc.j_panel_off[j])
+            span = _add3(_sub3(handle[j], pivot_w), panel_shift)
+            for frac in (0.45, 0.65, 0.85):
+                station = _add3(pivot_w, _scale3(span, frac))
+                st_lever = jnp.maximum(sc.lever[j] * frac, 1e-6)
+                for center, center_prev, r_part in (
+                    (new_hand, hand0, 0.012),
+                    (knuckle, knuckle_prev, 0.032),
+                ):
+                    parts.append(sphere_part(j, center, center_prev, r_part,
+                                             station, st_lever,
+                                             weight=sc.j_panel[j]))
 
-    def _vel_bounds(j, live, side, center, center_prev, lv, weight):
-        vn_q = _dot3(_sub3(center, center_prev), motion[j]) / dt / lv
-        act = live & (weight > 0.25)
-        hi = jnp.where(act & (side > 0.0), vn_q, _BIG_QV)
-        lo = jnp.where(act & (side < 0.0), vn_q, -_BIG_QV)
-        return hi, lo
+        dq_j, qv_hi_j, qv_lo_j = [], [], []
+        for j in range(MAX_JOINT):
+            dq_pos = jnp.maximum(parts_j[j][0][0], 0.0)
+            dq_neg = jnp.minimum(parts_j[j][0][0], 0.0)
+            hi = parts_j[j][0][1]
+            lo = parts_j[j][0][2]
+            for p in parts_j[j][1:]:
+                dq_pos = jnp.maximum(dq_pos, jnp.maximum(p[0], 0.0))
+                dq_neg = jnp.minimum(dq_neg, jnp.minimum(p[0], 0.0))
+                hi = jnp.minimum(hi, p[1])
+                lo = jnp.maximum(lo, p[2])
+            dq = dq_pos + dq_neg
+            # grab suppression (engine.py:1245-1254)
+            grabbing = (sc.j_hookable[j] > 0) & in_claw_j[j] & (effort > 0.0)
+            dq = jnp.where(grabbing, 0.0, dq)
+            hi = jnp.where(grabbing, _BIG_QV, hi)
+            lo = jnp.where(grabbing, -_BIG_QV, lo)
+            dq = jnp.clip(dq, -4.0 * dt / sc.lever[j], 4.0 * dt / sc.lever[j])
+            # finite weld load (engine.py:1259-1278)
+            gap_n = jnp.abs(_dot3(_sub3(target, new_hand), motion[j]))
+            dq_budget = jnp.where(
+                sc.j_damping[j] > 1e-9,
+                _WELD_K * gap_n * sc.lever[j] * dt
+                / jnp.maximum(sc.j_damping[j], 1e-9),
+                _BIG_QV,
+            ) + 1e-3 * dt
+            dq = jnp.clip(dq, -dq_budget, dq_budget)
+            dq_j.append(dq)
+            qv_hi_j.append(hi)
+            qv_lo_j.append(lo)
 
-    def sphere_part(j, center, center_prev, r_part, station=None,
-                    station_lever=None, weight=1.0, r_face=None):
-        pt0 = _add3(handle[j], press_pt_off[j]) if station is None else station
-        lv = sc.lever[j] if station_lever is None else station_lever
-        face_r = sc.j_handle_radius[j] if r_face is None else r_face
-        s_near = jnp.clip(_dot3(_sub3(center, pt0), press_fd[j]),
-                          -sc.j_face_radius[j], sc.j_face_radius[j])
-        pt = _where3(sc.has_bar[j], _add3(pt0, _scale3(press_fd[j], s_near)), pt0)
-        d3 = _sub3(center, pt)
-        u = _dot3(d3, motion[j])
-        u_prev = _dot3(_sub3(center_prev, pt), motion[j])
-        side = jnp.where(jnp.abs(u_prev) > 1e-9, jnp.sign(u_prev), jnp.sign(u))
-        side = jnp.where(side == 0.0, 1.0, side)
-        perp = _sub3(d3, _scale3(motion[j], u))
-        pd = _norm3(perp)
-        r_sum = face_r + r_part
-        eff_r = jnp.where(
-            sc.has_bar[j],
-            jnp.sqrt(jnp.maximum(r_sum * r_sum - pd * pd, 1e-24)),
-            r_sum,
-        )
-        in_face = (sc.has_bar[j] & (pd < r_sum)) | (
-            ~sc.has_bar[j] & (pd < sc.j_face_radius[j] + 0.6 * r_part))
-        pen = eff_r - side * u
-        live = in_face & (pen > 0.0) & (side * u > -r_sum)
-        du = _dot3(_sub3(center, center_prev), motion[j])
-        move_cap = jnp.maximum(-side * du, 0.0) + 0.0005
-        pen = jnp.minimum(pen, move_cap)
-        dq_p = weight * jnp.where(live, -side * pen, 0.0) / lv
-        return (dq_p, *_vel_bounds(j, live, side, center, center_prev, lv, weight))
+            # hooked drag (engine.py:1279-1303)
+            q_target = q_inv_j[j] + hook_off[j]
+            dq_hook = q_target - st["joint_q"][j]
+            dq_hook = jnp.where(
+                sc.is_hinge[j],
+                jnp.mod(dq_hook + jnp.pi, 2.0 * jnp.pi) - jnp.pi,
+                dq_hook,
+            )
+            dq_hook = jnp.where(sc.j_hook_carry[j] > 0,
+                                jnp.maximum(dq_hook, 0.0), dq_hook)
+            hook_cap = jnp.minimum(4.0 * dt, dq_budget)
+            q_hooked = st["joint_q"][j] + jnp.clip(dq_hook, -hook_cap, hook_cap)
+            q_want = q_free[j] + dq
+            q_new = jnp.where(hooked[j] > 0, q_hooked, q_want)
+            q_new = jnp.clip(q_new, sc.j_range[j][0], sc.j_range[j][1])
+            parts_j[j] = (dq, q_new, dq_hook)  # downstream backoff inputs
 
-    def box_part(j, center, center_prev, half, bar_only=False, weight=1.0):
-        pt0 = _add3(handle[j], press_pt_off[j])
-        s_near = jnp.clip(_dot3(_sub3(center, pt0), press_fd[j]),
-                          -sc.j_face_radius[j], sc.j_face_radius[j])
-        pt = _where3(sc.has_bar[j], _add3(pt0, _scale3(press_fd[j], s_near)), pt0)
-        d3 = _sub3(center, pt)
-        u = _dot3(d3, motion[j])
-        u_prev = _dot3(_sub3(center_prev, pt), motion[j])
-        side = jnp.where(jnp.abs(u_prev) > 1e-9, jnp.sign(u_prev), jnp.sign(u))
-        side = jnp.where(side == 0.0, 1.0, side)
-        h_m = (half[0] * jnp.abs(motion[j][0]) + half[1] * jnp.abs(motion[j][1])
-               + half[2] * jnp.abs(motion[j][2]))
-        rel = _sub3(pt, center)
-        closest = tuple(jnp.clip(rel[k], -half[k], half[k]) for k in range(3))
-        gap_vec = tuple(rel[k] - closest[k] for k in range(3))
-        gap_lat = _sub3(gap_vec, _scale3(motion[j], _dot3(gap_vec, motion[j])))
-        lat_r = jnp.where(sc.has_bar[j], sc.j_handle_radius[j],
-                          sc.j_face_radius[j])
-        lat_ok = _norm3(gap_lat) <= lat_r
-        depth = h_m + sc.j_handle_radius[j]
-        live = lat_ok & (side * u > -depth)
-        if bar_only:
-            live = live & sc.has_bar[j]
-        pen = depth - side * u
-        live = live & (pen > 0.0)
-        du = _dot3(_sub3(center, center_prev), motion[j])
-        pen = jnp.minimum(pen, jnp.maximum(-side * du, 0.0) + 0.0005)
-        dq_p = weight * jnp.where(live, -side * pen, 0.0) / sc.lever[j]
-        return (dq_p,
-                *_vel_bounds(j, live, side, center, center_prev, sc.lever[j],
-                             weight))
+        # --- stop residual -> hand backoff (engine.py:1305-1334) ---
+        backoff = (0.0, 0.0, 0.0)
+        residual_j = []
+        q_new_j = []
+        for j in range(MAX_JOINT):
+            dq, q_new, dq_hook = parts_j[j]
+            q_free_clip = jnp.clip(q_free[j], sc.j_range[j][0], sc.j_range[j][1])
+            dq_realized = jnp.where(hooked[j] > 0, dq, q_new - q_free_clip)
+            residual = (dq - dq_realized) * (hooked[j] == 0) * sc.j_exists[j]
+            residual = residual + (
+                (dq_hook - (q_new - st["joint_q"][j])) * (hooked[j] > 0)
+                * sc.j_exists[j]
+            )
+            residual_j.append(residual)
+            q_new_j.append(q_new)
+            backoff = _sub3(backoff, _scale3(motion[j], residual * sc.lever[j]))
+        bo_raw = _norm3(backoff)
+        move_pre = _norm3(_sub3(new_hand, hand0))
+        backoff = _scale3(backoff,
+                          jnp.minimum(1.0, move_pre / jnp.maximum(bo_raw, 1e-9)))
+        new_hand = _add3(new_hand, backoff)
+        # Coulomb pin against the bottomed-out fixture (engine.py:1336-1358)
+        bo_n = _norm3(backoff)
+        bo_dir = _scale3(backoff, 1.0 / jnp.maximum(bo_n, 1e-9))
+        dv_b = _sub3(new_hand, hand0)
+        dvbn = _dot3(dv_b, bo_dir)
+        dv_bn = _scale3(bo_dir, dvbn)
+        dv_bt = _sub3(dv_b, dv_bn)
+        bt_mag = _norm3(dv_bt)
+        bt_allow = jnp.maximum(bt_mag - _MU_HAND * bo_n, 0.0)
+        scale_bt = jnp.where(bo_n > 1e-9, bt_allow / jnp.maximum(bt_mag, 1e-9), 1.0)
+        pin_round = (jnp.abs(residual_j[0]) > 1e-12) & (sc.j_hookable[0] > 0)
+        for j in range(1, MAX_JOINT):
+            pin_round = pin_round | (
+                (jnp.abs(residual_j[j]) > 1e-12) & (sc.j_hookable[j] > 0))
+        scale_bt = jnp.where(pin_round, 1.0, scale_bt)
+        new_hand = tuple(hand0[k] + dv_bn[k] + dv_bt[k] * scale_bt for k in range(3))
 
-    parts_j = [[] for _ in range(MAX_JOINT)]
-    for j in range(MAX_JOINT):
-        parts = parts_j[j]
-        parts.append(sphere_part(j, new_hand, hand0, 0.012, weight=tip_active))
-        ks = sphere_part(j, knuckle, knuckle_prev, 0.012)
-        kb = box_part(j, knuckle, knuckle_prev, _KNUCKLE_HALF, bar_only=True)
-        parts.append(tuple(jnp.where(sc.has_bar[j], b, s)
-                           for s, b in zip(ks, kb)))
-        left_press, right_press = _pad_centers(new_hand, gripper)
-        parts.append(box_part(j, left_press, left_prev, _PLATE_HALF))
-        parts.append(box_part(j, right_press, right_prev, _PLATE_HALF))
-        rail = (new_hand[0], new_hand[1], new_hand[2] + 0.095)
-        rail_prev = (hand0[0], hand0[1], hand0[2] + 0.095)
-        parts.append(box_part(j, rail, rail_prev, _RAIL_HALF))
-        for i in range(MAX_OBJ):
-            tool_i = _add3(pos[i], _qrot(quat[i], sc.o_tool_off[i]))
-            tool_i_prev = _add3(st["obj_pos"][i],
-                                _qrot(st["obj_quat"][i], sc.o_tool_off[i]))
-            parts.append(sphere_part(j, tool_i, tool_i_prev, 0.02,
-                                     weight=sc.o_exists[i]))
-        # panel stations (engine.py:1218-1236)
-        pivot_w = _add3(fixture, sc.j_anchor[j])
-        panel_shift = _scale3(motion[j], sc.j_panel_off[j])
-        span = _add3(_sub3(handle[j], pivot_w), panel_shift)
-        for frac in (0.45, 0.65, 0.85):
-            station = _add3(pivot_w, _scale3(span, frac))
-            st_lever = jnp.maximum(sc.lever[j] * frac, 1e-6)
-            for center, center_prev, r_part in (
-                (new_hand, hand0, 0.012),
-                (knuckle, knuckle_prev, 0.032),
-            ):
-                parts.append(sphere_part(j, center, center_prev, r_part,
-                                         station, st_lever,
-                                         weight=sc.j_panel[j]))
+        # --- rigid handle bars push the claw out (engine.py:1359-1388) ---
+        bar_corr = (0.0, 0.0, 0.0)
+        for j in range(MAX_JOINT):
+            pt0 = _add3(handle[j], press_pt_off[j])
+            s_n = jnp.clip(_dot3(_sub3(new_hand, pt0), press_fd[j]),
+                           -sc.j_face_radius[j], sc.j_face_radius[j])
+            pt = _add3(pt0, _scale3(press_fd[j], s_n))
+            d3 = _sub3(new_hand, pt)
+            dist = _norm3(d3)
+            r_sum = sc.j_handle_radius[j] + _HAND_TIP_R
+            pen = jnp.maximum(r_sum - dist, 0.0)
+            n_dir = _scale3(d3, 1.0 / jnp.maximum(dist, 1e-9))
+            corr = _scale3(n_dir, pen)
+            corr = _sub3(corr, _scale3(motion[j], _dot3(corr, motion[j])))
+            wrap = (sc.j_hookable[j] > 0) & (
+                (hooked[j] > 0) | (in_claw_j[j] & (effort > 0.0)))
+            act = sc.has_bar[j] & (sc.j_exists[j] > 0) & ~wrap
+            bar_corr = _add3(bar_corr, _scale3(corr, act))
+        new_hand = _add3(new_hand, bar_corr)
+        # rigid wrap lock (engine.py:1389-1402)
+        lock = (0.0, 0.0, 0.0)
+        for j in range(MAX_JOINT):
+            q_rot_new = _axquat(sc.j_axis[j], q_new_j[j])
+            off_w_new = _qrot(q_rot_new, hook_hoff[j])
+            off_w_new = _where3(sc.is_hinge[j], off_w_new, hook_hoff[j])
+            handle_new = _handle_pos(sc, j, fixture, q_new_j[j])
+            lc = _sub3(_add3(handle_new, off_w_new), new_hand)
+            lc = _sub3(lc, _scale3(motion[j], _dot3(lc, motion[j])))
+            lock = _add3(lock, _scale3(lc, (hooked[j] > 0)))
+        new_hand = _add3(new_hand, lock)
 
-    dq_j, qv_hi_j, qv_lo_j = [], [], []
-    for j in range(MAX_JOINT):
-        dq_pos = jnp.maximum(parts_j[j][0][0], 0.0)
-        dq_neg = jnp.minimum(parts_j[j][0][0], 0.0)
-        hi = parts_j[j][0][1]
-        lo = parts_j[j][0][2]
-        for p in parts_j[j][1:]:
-            dq_pos = jnp.maximum(dq_pos, jnp.maximum(p[0], 0.0))
-            dq_neg = jnp.minimum(dq_neg, jnp.minimum(p[0], 0.0))
-            hi = jnp.minimum(hi, p[1])
-            lo = jnp.maximum(lo, p[2])
-        dq = dq_pos + dq_neg
-        # grab suppression (engine.py:1245-1254)
-        grabbing = (sc.j_hookable[j] > 0) & in_claw_j[j] & (effort > 0.0)
-        dq = jnp.where(grabbing, 0.0, dq)
-        hi = jnp.where(grabbing, _BIG_QV, hi)
-        lo = jnp.where(grabbing, -_BIG_QV, lo)
-        dq = jnp.clip(dq, -4.0 * dt / sc.lever[j], 4.0 * dt / sc.lever[j])
-        # finite weld load (engine.py:1259-1277)
-        gap_n = jnp.abs(_dot3(_sub3(target, new_hand), motion[j]))
-        dq_budget = jnp.where(
-            sc.j_damping[j] > 1e-9,
-            _WELD_K * gap_n * sc.lever[j] * dt
-            / jnp.maximum(sc.j_damping[j], 1e-9),
-            _BIG_QV,
-        ) + 1e-3 * dt
-        dq = jnp.clip(dq, -dq_budget, dq_budget)
-        dq_j.append(dq)
-        qv_hi_j.append(hi)
-        qv_lo_j.append(lo)
+        # --- joint velocities with inelastic press bounds (engine.py:1413-1426) ---
+        joint_q_out, joint_v_out = [], []
+        for j in range(MAX_JOINT):
+            q_new = q_new_j[j]
+            qv = (q_new - st["joint_q"][j]) / dt
+            cand = jnp.clip(qv, qv_lo_j[j], qv_hi_j[j])
+            qv_press = jnp.where(jnp.abs(cand) <= jnp.abs(qv) + 1e-9, cand, qv)
+            qv = jnp.where(hooked[j] > 0, qv, qv_press)
+            joint_q_out.append(q_new * sc.j_exists[j])
+            joint_v_out.append(qv * sc.j_exists[j])
 
-        # hooked drag (engine.py:1279-1303)
-        q_target = q_inv_j[j] + hook_off[j]
-        dq_hook = q_target - st["joint_q"][j]
-        dq_hook = jnp.where(
-            sc.is_hinge[j],
-            jnp.mod(dq_hook + jnp.pi, 2.0 * jnp.pi) - jnp.pi,
-            dq_hook,
-        )
-        dq_hook = jnp.where(sc.j_hook_carry[j] > 0,
-                            jnp.maximum(dq_hook, 0.0), dq_hook)
-        hook_cap = jnp.minimum(4.0 * dt, dq_budget)
-        q_hooked = st["joint_q"][j] + jnp.clip(dq_hook, -hook_cap, hook_cap)
-        q_want = q_free[j] + dq
-        q_new = jnp.where(hooked[j] > 0, q_hooked, q_want)
-        q_new = jnp.clip(q_new, sc.j_range[j][0], sc.j_range[j][1])
-        parts_j[j] = (dq, q_new, dq_hook)  # reuse slot for downstream values
+    else:
+        joint_q_out = [st["joint_q"][j] for j in range(MAX_JOINT)]
+        joint_v_out = [st["joint_v"][j] for j in range(MAX_JOINT)]
+        hooked = [st["hooked"][j] for j in range(MAX_JOINT)]
+        hook_off = [st["hook_off"][j] for j in range(MAX_JOINT)]
+        hook_hoff = [st["hook_hoff"][j] for j in range(MAX_JOINT)]
 
-    # --- stop residual -> hand backoff (engine.py:1305-1334) ---
-    backoff = (0.0, 0.0, 0.0)
-    residual_j = []
-    q_new_j = []
-    for j in range(MAX_JOINT):
-        dq, q_new, dq_hook = parts_j[j]
-        q_free_clip = jnp.clip(q_free[j], sc.j_range[j][0], sc.j_range[j][1])
-        dq_realized = jnp.where(hooked[j] > 0, dq, q_new - q_free_clip)
-        residual = (dq - dq_realized) * (hooked[j] == 0) * sc.j_exists[j]
-        residual = residual + (
-            (dq_hook - (q_new - st["joint_q"][j])) * (hooked[j] > 0)
-            * sc.j_exists[j]
-        )
-        residual_j.append(residual)
-        q_new_j.append(q_new)
-        backoff = _sub3(backoff, _scale3(motion[j], residual * sc.lever[j]))
-    bo_raw = _norm3(backoff)
-    move_pre = _norm3(_sub3(new_hand, hand0))
-    backoff = _scale3(backoff,
-                      jnp.minimum(1.0, move_pre / jnp.maximum(bo_raw, 1e-9)))
-    new_hand = _add3(new_hand, backoff)
-    # Coulomb pin against the bottomed-out fixture (engine.py:1336-1358)
-    bo_n = _norm3(backoff)
-    bo_dir = _scale3(backoff, 1.0 / jnp.maximum(bo_n, 1e-9))
-    dv_b = _sub3(new_hand, hand0)
-    dvbn = _dot3(dv_b, bo_dir)
-    dv_bn = _scale3(bo_dir, dvbn)
-    dv_bt = _sub3(dv_b, dv_bn)
-    bt_mag = _norm3(dv_bt)
-    bt_allow = jnp.maximum(bt_mag - _MU_HAND * bo_n, 0.0)
-    scale_bt = jnp.where(bo_n > 1e-9, bt_allow / jnp.maximum(bt_mag, 1e-9), 1.0)
-    pin_round = (jnp.abs(residual_j[0]) > 1e-12) & (sc.j_hookable[0] > 0)
-    for j in range(1, MAX_JOINT):
-        pin_round = pin_round | (
-            (jnp.abs(residual_j[j]) > 1e-12) & (sc.j_hookable[j] > 0))
-    scale_bt = jnp.where(pin_round, 1.0, scale_bt)
-    new_hand = tuple(hand0[k] + dv_bn[k] + dv_bt[k] * scale_bt for k in range(3))
-
-    # --- rigid handle bars push the claw out (engine.py:1359-1388) ---
-    bar_corr = (0.0, 0.0, 0.0)
-    for j in range(MAX_JOINT):
-        pt0 = _add3(handle[j], press_pt_off[j])
-        s_n = jnp.clip(_dot3(_sub3(new_hand, pt0), press_fd[j]),
-                       -sc.j_face_radius[j], sc.j_face_radius[j])
-        pt = _add3(pt0, _scale3(press_fd[j], s_n))
-        d3 = _sub3(new_hand, pt)
-        dist = _norm3(d3)
-        r_sum = sc.j_handle_radius[j] + _HAND_TIP_R
-        pen = jnp.maximum(r_sum - dist, 0.0)
-        n_dir = _scale3(d3, 1.0 / jnp.maximum(dist, 1e-9))
-        corr = _scale3(n_dir, pen)
-        corr = _sub3(corr, _scale3(motion[j], _dot3(corr, motion[j])))
-        wrap = (sc.j_hookable[j] > 0) & (
-            (hooked[j] > 0) | (in_claw_j[j] & (effort > 0.0)))
-        act = sc.has_bar[j] & (sc.j_exists[j] > 0) & ~wrap
-        bar_corr = _add3(bar_corr, _scale3(corr, act))
-    new_hand = _add3(new_hand, bar_corr)
-    # rigid wrap lock (engine.py:1389-1402)
-    lock = (0.0, 0.0, 0.0)
-    for j in range(MAX_JOINT):
-        q_rot_new = _axquat(sc.j_axis[j], q_new_j[j])
-        off_w_new = _qrot(q_rot_new, hook_hoff[j])
-        off_w_new = _where3(sc.is_hinge[j], off_w_new, hook_hoff[j])
-        handle_new = _handle_pos(sc, j, fixture, q_new_j[j])
-        lc = _sub3(_add3(handle_new, off_w_new), new_hand)
-        lc = _sub3(lc, _scale3(motion[j], _dot3(lc, motion[j])))
-        lock = _add3(lock, _scale3(lc, (hooked[j] > 0)))
-    new_hand = _add3(new_hand, lock)
-    # table support under the claw (engine.py:1403-1412)
+    # table support under the claw (engine.py:1403-1412) — moved after
+    # the joint-velocity block (order-independent: that block does not read
+    # new_hand), so the support also applies when with_joints is False
     tbl = _support_z(sc, new_hand[0], new_hand[1]) - 0.010
     new_hand = (new_hand[0], new_hand[1], jnp.maximum(new_hand[2], tbl))
     hand_vel = tuple((new_hand[k] - hand0[k]) / dt for k in range(3))
 
-    # --- joint velocities with inelastic press bounds (engine.py:1413-1426) ---
-    joint_q_out, joint_v_out = [], []
-    for j in range(MAX_JOINT):
-        q_new = q_new_j[j]
-        qv = (q_new - st["joint_q"][j]) / dt
-        cand = jnp.clip(qv, qv_lo_j[j], qv_hi_j[j])
-        qv_press = jnp.where(jnp.abs(cand) <= jnp.abs(qv) + 1e-9, cand, qv)
-        qv = jnp.where(hooked[j] > 0, qv, qv_press)
-        joint_q_out.append(q_new * sc.j_exists[j])
-        joint_v_out.append(qv * sc.j_exists[j])
 
     # --- pad forces (engine.py:1428-1438) ---
-    gripped0 = ((attached[0] > 0) | can_grasp[0]) & (squeeze > 0.0)
-    pad_f_l = _PAD_K * pad_push_depth[0][0] + jnp.where(gripped0, squeeze, 0.0)
-    pad_f_r = _PAD_K * pad_push_depth[1][0] + jnp.where(gripped0, squeeze, 0.0)
+    if with_objects:
+        gripped0 = ((attached[0] > 0) | can_grasp[0]) & (squeeze > 0.0)
+        pad_f_l = (_PAD_K * pad_push_depth[0][0]
+                   + jnp.where(gripped0, squeeze, 0.0))
+        pad_f_r = (_PAD_K * pad_push_depth[1][0]
+                   + jnp.where(gripped0, squeeze, 0.0))
+    else:
+        pad_f_l = jnp.zeros_like(gripper)
+        pad_f_r = jnp.zeros_like(gripper)
 
     return {
         "hand": new_hand,

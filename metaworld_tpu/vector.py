@@ -343,8 +343,14 @@ class FusedBatchedEnvs(BatchedEnvs):
         if physics == "pallas":
             from metaworld_tpu.physics import pallas_step
             self._scene_rows = pallas_step.pack_scene_rows(self._scene_slots)
+            n_pad = -(-self.num_envs // self.pallas_block) * self.pallas_block
+            # per-block specialization ids: blocks are task-contiguous, so
+            # most run a reduced substep variant (see pallas_step._VARIANTS)
+            self._pallas_variants = pallas_step.block_variants(
+                self._scene_slots, n_pad, self.pallas_block)
         else:
             self._scene_rows = None
+            self._pallas_variants = None
 
     def _slice(self, tree, i):
         a, b = int(self._offsets[i]), int(self._offsets[i + 1])
@@ -394,7 +400,7 @@ class FusedBatchedEnvs(BatchedEnvs):
             from metaworld_tpu.physics import pallas_step
             sim = pallas_step.control_step(
                 self._scene_slots, self._scene_rows, env.sim, actions,
-                block=self.pallas_block)
+                block=self.pallas_block, variants=self._pallas_variants)
         else:
             sim = engine_lanes.control_step(self._scene_slots, env.sim, actions)
         # sim-instability guard, vectorized (ref _did_see_sim_exception,

@@ -60,8 +60,10 @@ def test_lanes_matches_reference_engine(name):
 
 def test_pallas_kernel_matches_lanes_interpret():
     """The Pallas kernel (interpret mode on CPU) reproduces the lane engine
-    on a mixed-task batch — validates the packed row layout and the in-kernel
-    unpack against the XLA path."""
+    on a mixed-task batch — validates the packed row layout, the in-kernel
+    unpack, AND the per-block task specialization (block 16 over 3 tasks x 8
+    slots yields objects-only, fixture-only and mixed blocks) against the
+    generic XLA path."""
     specs, tables = [], []
     for name in TASKS:
         bench = mw.MT1(name, seed=0, num_goals=2)
@@ -74,13 +76,16 @@ def test_pallas_kernel_matches_lanes_interpret():
     sim = state.env.sim
     scene = envs._scene_slots
     scene_rows = pallas_step.pack_scene_rows(scene)
+    vids = pallas_step.block_variants(scene, 32, 16)
+    assert len(set(vids)) > 1, "specialization should mix variants here"
     rng = np.random.default_rng(1)
     for t in range(3):
         act = jnp.asarray(rng.uniform(-1, 1, (24, 4)).astype(np.float32))
         sim_a = jax.jit(
             lambda s, a: engine_lanes.control_step(scene, s, a))(sim, act)
         sim_b = pallas_step.control_step(scene, scene_rows, sim, act,
-                                         block=16, interpret=True)
+                                         block=16, interpret=True,
+                                         variants=vids)
         err, field = _max_field_err(sim_a, sim_b)
         assert err < 1e-4, f"t={t}: {field} diverged by {err:.3e}"
         sim = sim_a
