@@ -34,7 +34,10 @@ def test_step_jacobian_finite(name, vec):
         st2, _ = env_step(spec, st, a)
         return st2.sim
 
-    J = jax.jacrev(step_sim)(jnp.array([0.1, 0.05, -0.1, 0.3]))
+    # jit the pullback: the lane-oriented engine traces to thousands of
+    # primitives, and an un-jitted jacrev dispatches every one eagerly per
+    # output cotangent (minutes-to-hours); compiled it runs in seconds
+    J = jax.jit(jax.jacrev(step_sim))(jnp.array([0.1, 0.05, -0.1, 0.3]))
     bad = [jax.tree_util.keystr(p)
            for p, leaf in jax.tree_util.tree_flatten_with_path(J)[0]
            if not bool(jnp.isfinite(leaf).all())]
@@ -44,6 +47,7 @@ def test_step_jacobian_finite(name, vec):
 def test_unrolled_gradient_matches_finite_differences():
     spec, st = _state("reach-v3", [0.05, 0.62, 0.02, -0.06, 0.84, 0.24])
 
+    @jax.jit
     def win(a):
         def body(c, _):
             s2, out = env_step(spec, c, a)
@@ -52,7 +56,7 @@ def test_unrolled_gradient_matches_finite_differences():
         return rews.sum()
 
     a0 = jnp.zeros(4)
-    g = np.asarray(jax.grad(win)(a0))
+    g = np.asarray(jax.jit(jax.grad(win))(a0))
     eps = 3e-3
     fd = np.array([
         (float(win(a0.at[i].add(eps))) - float(win(a0.at[i].add(-eps))))

@@ -50,7 +50,7 @@ CEILINGS = {
     "faucet-open-v3": (0.346, 0.476, 0.243, 1),
     "hammer-v3": (0.091, 0.111, 0.586, 1),
     "hand-insert-v3": (0.112, 0.115, 0.083, 1),
-    "handle-press-side-v3": (0.042, 0.030, 0.096, 1),
+    "handle-press-side-v3": (0.032, 0.030, 0.083, 1),
     "handle-press-v3": (0.030, 0.044, 0.155, 1),
     "handle-pull-side-v3": (0.030, 0.037, 0.158, 1),
     "handle-pull-v3": (0.042, 0.033, 0.083, 1),
@@ -74,7 +74,7 @@ CEILINGS = {
     "stick-pull-v3": (0.104, 0.068, 0.083, 1),
     "stick-push-v3": (0.276, 0.330, 1.165, 1),
     "sweep-into-v3": (0.110, 0.159, 0.213, 1),
-    "sweep-v3": (0.030, 0.140, 1.270, 1),
+    "sweep-v3": (0.030, 0.049, 0.083, 1),
     "window-close-v3": (0.347, 0.030, 0.099, 1),
     "window-open-v3": (0.058, 0.030, 0.139, 1),
 }
