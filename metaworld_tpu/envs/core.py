@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from metaworld_tpu.physics import engine, engine_lanes, maths
+from metaworld_tpu.physics import engine, maths
 from metaworld_tpu.types import (
     HAND_SPACE_HIGH,
     HAND_SPACE_LOW,
@@ -212,8 +212,16 @@ def env_step(spec: TaskSpec, state: EnvState, action: jnp.ndarray):
     235,250,603-619): if the physics update produced any non-finite state,
     the step keeps the LAST STABLE sim state and reports reward 0 — the
     in-graph equivalent of the reference catching a MuJoCo exception and
-    returning its last stable observation."""
-    sim = engine_lanes.control_step(spec.scene_device, state.sim, action)
+    returning its last stable observation.
+
+    Physics backend: the readable per-env engine (physics/engine.py). The
+    lane-oriented / Pallas fast paths (engine_lanes, pallas_step) serve the
+    fused batched consumers and are pinned to this engine by
+    tests/test_engine_lanes.py; the per-env path stays on engine.py because
+    reverse-mode AD through it compiles in seconds (the lane layout's
+    scalar-graph transpose takes XLA:CPU >15 min to compile, which is what
+    the differentiability suite, train_apg.py and any user jax.grad hit)."""
+    sim = engine.control_step(spec.scene_device, state.sim, action)
     stable = (jnp.isfinite(sim.hand).all()
               & jnp.isfinite(sim.obj_pos).all()
               & jnp.isfinite(sim.joint_q).all()

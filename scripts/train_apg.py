@@ -63,11 +63,16 @@ def main():
         from metaworld_tpu.parallel.sharded import ShardedEnvs
 
         m = pmesh.make_env_mesh(args.devices)
-        envs = ShardedEnvs(bench, envs_per_task=args.envs_per_task, mesh=m)
+        envs = ShardedEnvs(bench, envs_per_task=args.envs_per_task, mesh=m,
+                           fused=False)  # differentiable per-env engine
         env_reset_fn, env_step_fn = envs.reset, envs._step_sm
     else:
+        # grouped path (fused=False): backprop-through-physics runs the
+        # readable per-env engine, whose reverse-mode program XLA compiles
+        # in seconds (the lane engine's transpose takes >15 min on CPU)
         envs = mw.vector.from_benchmark(bench,
-                                        envs_per_task=args.envs_per_task)
+                                        envs_per_task=args.envs_per_task,
+                                        fused=False)
         env_reset_fn, env_step_fn = envs.reset, envs.step
     obs_dim = envs.obs_dim
 

@@ -73,8 +73,10 @@ def test_apg_learns_reach():
 
     import metaworld_tpu as mw
 
+    # fused=False: differentiation runs the per-env engine (engine.py) —
+    # reverse-mode through the lane engine is a >15-min XLA:CPU compile
     envs = mw.vector.from_benchmark(mw.MT1("reach-v3", seed=0),
-                                    envs_per_task=32)
+                                    envs_per_task=32, fused=False)
     H = 60
 
     class Pi(nn.Module):

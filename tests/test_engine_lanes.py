@@ -1,10 +1,11 @@
 """Equivalence of the three physics-step implementations.
 
-physics/engine.py is the readable reference implementation (small per-env
-arrays + vmap); physics/engine_lanes.py is the lane-oriented fast path that
-every runtime consumer now uses; physics/pallas_step.py runs the same lane
-substep inside a Pallas TPU kernel. These tests pin all three to each other:
-a drift in any one of them fails here before it can skew golden parity.
+physics/engine.py is the readable per-env implementation (small per-env
+arrays + vmap) that env_step and every differentiable consumer run;
+physics/engine_lanes.py is the lane-oriented fast path behind
+FusedBatchedEnvs; physics/pallas_step.py runs the same lane substep inside
+a Pallas TPU kernel. These tests pin all three to each other: a drift in
+any one of them fails here before it can skew golden parity.
 
 Tolerances: the lane translation reorders float accumulations (explicit
 x+y+z vs jnp.sum) and evaluates atan2 by polynomial (engine_lanes._atan2,
@@ -26,6 +27,13 @@ from metaworld_tpu.physics import engine, engine_lanes, pallas_step
 # grasp + static boxes | hinge panel + hook | two objects + nail joint + tool
 TASKS = ["pick-place-v3", "door-open-v3", "hammer-v3"]
 
+# env_step (the per-env path every golden/replay test drives) runs
+# engine.py, so the lane engines' coverage comes from these pins — one
+# task per remaining feature family: fixture press | slide panel |
+# hook-on-peg ring | hinge lever bar | planar puck with xy limits
+EXTRA_TASKS = ["button-press-topdown-v3", "window-open-v3", "assembly-v3",
+               "faucet-open-v3", "plate-slide-v3"]
+
 
 def _max_field_err(sim_a, sim_b):
     worst, field = 0.0, None
@@ -38,7 +46,7 @@ def _max_field_err(sim_a, sim_b):
     return worst, field
 
 
-@pytest.mark.parametrize("name", TASKS)
+@pytest.mark.parametrize("name", TASKS + EXTRA_TASKS)
 def test_lanes_matches_reference_engine(name):
     bench = mw.MT1(name, seed=0, num_goals=2)
     spec = bench.train_classes[name]
@@ -61,9 +69,10 @@ def test_lanes_matches_reference_engine(name):
 def test_pallas_kernel_matches_lanes_interpret():
     """The Pallas kernel (interpret mode on CPU) reproduces the lane engine
     on a mixed-task batch — validates the packed row layout, the in-kernel
-    unpack, AND the per-block task specialization (block 16 over 3 tasks x 8
-    slots yields objects-only, fixture-only and mixed blocks) against the
-    generic XLA path."""
+    unpack, AND the per-block task specialization (block 8 over 3 tasks x 8
+    slots yields one pure block per task: objects-only for pick-place,
+    fixture-only for door-open, mixed for hammer) against the generic XLA
+    path."""
     specs, tables = [], []
     for name in TASKS:
         bench = mw.MT1(name, seed=0, num_goals=2)
@@ -76,16 +85,19 @@ def test_pallas_kernel_matches_lanes_interpret():
     sim = state.env.sim
     scene = envs._scene_slots
     scene_rows = pallas_step.pack_scene_rows(scene)
-    vids = pallas_step.block_variants(scene, 32, 16)
+    vids = pallas_step.block_variants(scene, 24, 8)
     assert len(set(vids)) > 1, "specialization should mix variants here"
+    assert vids == (0, 2, 3)  # objects-only | fixture-only | everything
+    step_l = jax.jit(lambda s, a: engine_lanes.control_step(scene, s, a))
+    # jit the pallas path once too (production always runs it under the
+    # fused step's jit; eager pallas_call re-lowers per call)
+    step_p = jax.jit(lambda s, a: pallas_step.control_step(
+        scene, scene_rows, s, a, block=8, interpret=True, variants=vids))
     rng = np.random.default_rng(1)
     for t in range(3):
         act = jnp.asarray(rng.uniform(-1, 1, (24, 4)).astype(np.float32))
-        sim_a = jax.jit(
-            lambda s, a: engine_lanes.control_step(scene, s, a))(sim, act)
-        sim_b = pallas_step.control_step(scene, scene_rows, sim, act,
-                                         block=16, interpret=True,
-                                         variants=vids)
+        sim_a = step_l(sim, act)
+        sim_b = step_p(sim, act)
         err, field = _max_field_err(sim_a, sim_b)
         assert err < 1e-4, f"t={t}: {field} diverged by {err:.3e}"
         sim = sim_a
