@@ -32,6 +32,9 @@ class FreeObj:
     half_x: float = 0.0         # x half-extent for pad contacts (0 -> radius);
                                 # set for rods lying along x (stick: box geom
                                 # half 0.05, ref objects/assets/stick.xml)
+    oo_half_x: float = 0.0      # x half-extent for object-object contact
+                                # (0 -> half_x): the stick-push container's
+                                # handle rod reaches past its pad-contact body
     half_h: float = 0.02        # COM height above support when resting
     mass: float = 0.1
     graspable: bool = True
@@ -53,6 +56,13 @@ class FreeObj:
     friction: float = 0.55  # sliding Coulomb coefficient on the support
                             # (MuJoCo's default mu is 1.0 — e.g. the soccer
                             # ball, soccer_dependencies.xml condim=3)
+    grasp_x_tol: float = 0.0  # max |x| offset of the grasp point from the
+                            # tcp for a STABLE cage (0 -> the engine default
+                            # 0.035). The tapered coffee mug wedges out of
+                            # any off-diameter pinch (golden coffee-push:
+                            # the claw squeezes at dx 15-42 mm and the mug
+                            # squirts out along the pad axis; coffee-pull's
+                            # stable grasp is centered to 2 mm)
 
 
 @dataclasses.dataclass
@@ -127,6 +137,8 @@ def build_scene(
         obj_type=pad([x.kind for x in o], MAX_OBJ).astype(np.int32),
         obj_radius=pad([x.radius for x in o], MAX_OBJ).astype(f),
         obj_half_x=pad([x.half_x or x.radius for x in o], MAX_OBJ).astype(f),
+        obj_oo_half_x=pad([x.oo_half_x or x.half_x or x.radius for x in o],
+                          MAX_OBJ).astype(f),
         obj_half_h=pad([x.half_h for x in o], MAX_OBJ).astype(f),
         obj_mass=pad([x.mass for x in o], MAX_OBJ).astype(f),
         obj_graspable=pad([float(x.graspable) for x in o], MAX_OBJ).astype(f),
@@ -142,6 +154,8 @@ def build_scene(
         obj_xy_lo=pad([(x.xy_range[:2] if x.xy_range else (0.0, 0.0)) for x in o], MAX_OBJ, 2).astype(f),
         obj_xy_hi=pad([(x.xy_range[2:] if x.xy_range else (0.0, 0.0)) for x in o], MAX_OBJ, 2).astype(f),
         obj_hook_grasp=pad([float(x.hook_grasp) for x in o], MAX_OBJ).astype(f),
+        obj_grasp_x_tol=pad([x.grasp_x_tol or 0.035 for x in o],
+                            MAX_OBJ).astype(f),
         link_enable=np.asarray(float(link_enable), dtype=f),
         link_handle_off=np.asarray(link_handle_off, dtype=f),
         joint_exists=pad([1.0] * len(j), MAX_JOINT).astype(f),

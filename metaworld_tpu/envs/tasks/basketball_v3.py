@@ -94,8 +94,17 @@ def make_spec(task_id: int) -> TaskSpec:
                       # (canonical grip 0.006 - grasp_off_z)
                       grasp_halfwidth=0.025, mass=0.05,
                       grasp_off=(0.0, 0.0, -0.006))],
-        # basket frame uprights (rough): keep the ball from passing through
-        boxes=[StaticBox(pos=(0.0, 0.0, 0.15), size=(0.01, 0.01, 0.15),
+        # basket collision shells from the reference hoop model
+        # (ref objects/assets/basketballhoop.xml): the BACKBOARD box
+        # half (0.1, 0.01, 0.07) at basket+(0,0,0.29) and the pole
+        # cylinder r 0.007 spanning z 0.01-0.226. The backboard is what
+        # parks the reference claw during the dunk: the golden trace's
+        # leftclaw/leftpad press its front face (y = basket_y - 0.01)
+        # while the mocap marches 0.15 m past it, and the weld's Coulomb
+        # pin holds the tcp there for the rest of the episode.
+        boxes=[StaticBox(pos=(0.0, 0.0, 0.29), size=(0.1, 0.01, 0.07),
+                         rel_fixture=True),
+               StaticBox(pos=(0.0, 0.0, 0.118), size=(0.007, 0.007, 0.108),
                          rel_fixture=True)],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

@@ -26,7 +26,11 @@ def coffee_mug_scene():
         # true COM (half_h 0.035) and the task's obj_report_off shifts the
         # observation back to the bottom-frame convention
         objs=[FreeObj(radius=0.035, half_h=0.035, graspable=True,
-                      grasp_halfwidth=0.033, mass=0.15)],
+                      grasp_halfwidth=0.033, mass=0.15,
+                      # tapered frustum: only a centered pinch holds
+                      # (golden coffee-push squeezes at dx >= 15 mm and
+                      # the mug squirts out along the pad axis)
+                      grasp_x_tol=0.006)],
         # the coffee machine body sits behind the mug slot
         boxes=[StaticBox(pos=(0.0, 0.05, 0.15), size=(0.08, 0.08, 0.15),
                          rel_fixture=True)],

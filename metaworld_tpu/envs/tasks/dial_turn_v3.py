@@ -89,6 +89,14 @@ def make_spec(task_id: int) -> TaskSpec:
             # (ref sawyer_dial_turn_v3_policy.py targets dial + (0.05,
             # 0.02, 0.09)) — press contact is the faithful mechanism
         )],
+        # NB the dial drum/pointer-bar (live-model top z 0.066) is what
+        # the golden POST-crank claw rests on (tcp parks at z 0.066 while
+        # the mocap dives to 0.05 — the residual ~65 mm hand error in
+        # docs/parity.md's parked phase). It is deliberately NOT a
+        # blocks_hand box: the crank path sweeps the claw across the drum
+        # footprint, and a kinematic pushout there breaks the scripted
+        # crank (0/8 closed-loop when tried; MuJoCo's soft contact lets
+        # the ref claw brush the drum while cranking).
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )

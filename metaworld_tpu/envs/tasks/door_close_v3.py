@@ -89,12 +89,18 @@ def make_spec(task_id: int) -> TaskSpec:
             # compiled truth (sawyer_door_pull.xml doorjoint): M=0.151,
             # damping=2.0, subtree mass 2.23 (z-hinge: no gravity torque);
             # capsule handle bar as in door-open (phantom-press fix)
-            range=(-0.4292, 1.5708), damping=2.0, inertia=0.151, mass=2.23,
+            # open stop: door slab vs doorlockB housing at q_mujoco -1.785
+            # (see door_open_v3), i.e. q_close -0.214
+            range=(-0.214, 1.5708), damping=2.0, inertia=0.151, mass=2.23,
             handle_radius=0.023, face_radius=0.097, face_dir=(0.0, 0.0, 1.0),
             panel=True,
-            # mirrored q-convention vs door-open (q=0 is OPEN here):
-            # the handle protrudes on the +motion side, panel behind it
-            panel_off=-0.12,
+            # same world geometry as door-open: the panel slab sits 0.12
+            # on the +motion side of the pivot->handle line in EVERY pose
+            # (the q-convention mirror rotates arm and tangent together,
+            # so the sign does NOT flip — a -0.12 put a phantom panel in
+            # the approach pocket south of the closed door's handle and
+            # Coulomb-froze the open-loop hand 0.16 m short of the mocap)
+            panel_off=0.12,
         )],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

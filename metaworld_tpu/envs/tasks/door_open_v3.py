@@ -103,7 +103,11 @@ def make_spec(task_id: int) -> TaskSpec:
             # only shoves the door by its true geometric overlap (a wide
             # disc face made every near miss a full-depth phantom press
             # that slammed the door to its stop)
-            range=(-2.0, 0.0), damping=2.0, inertia=0.151, mass=2.23,
+            # open stop at -1.785, NOT the declared joint range -2.0: the
+            # door slab strikes the doorlockB housing (live-model contact
+            # door_link g51 x doorlockB g37 at q = -1.78) and parks there
+            # under full weld pull in the golden trace
+            range=(-1.785, 0.0), damping=2.0, inertia=0.151, mass=2.23,
             handle_radius=0.023, face_radius=0.097, face_dir=(0.0, 0.0, 1.0),
             hookable=True, panel=True, panel_off=0.12,
         )],

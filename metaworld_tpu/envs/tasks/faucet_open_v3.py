@@ -112,7 +112,8 @@ def make_faucet_spec(name, task_id, obj_low, obj_high, ccw: bool, obj_offset,
             # knob site, outside any honest press-face reach
             hookable=True,
         )],
-        mocap_low=(-0.5, 0.40, 0.05),
+        # ref hand_low z = -0.15 (sawyer_faucet_open_v3.py hand_low)
+        mocap_low=(-0.5, 0.40, -0.15),
         mocap_high=(0.5, 1.0, 0.5),
     )
     return TaskSpec(

@@ -108,7 +108,10 @@ def make_spec(task_id: int) -> TaskSpec:
             # re-approaching hand falling onto the ball does not wrap it)
             handle_radius=0.045, hookable=True, hook_carry=True,
         )],
-        mocap_low=(-0.5, 0.40, 0.05),
+        # ref hand_low z = -0.15 (sawyer_lever_pull_v3.py:42): the scripted
+        # retreat drives the mocap 0.15 m below the table and the pressed
+        # fingertips Coulomb-pin the tcp at the lever
+        mocap_low=(-0.5, 0.40, -0.15),
         mocap_high=(0.5, 1.0, 0.5),
     )
     return TaskSpec(

@@ -97,9 +97,23 @@ def _reward(spec: TaskSpec, state, obs, action):
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         objs=[FreeObj(radius=0.02, half_h=0.02, graspable=True, grasp_halfwidth=0.0227)],
-        # shelf support plate: top surface ~0.255 below the goal site
-        boxes=[StaticBox(pos=(0.0, 0.03, 0.1275), size=(0.12, 0.06, 0.1275),
-                         rel_fixture=True)],
+        # shelf unit from the compiled reference model (geoms rel the
+        # shelf body): mid plate the block lands on, base block, back
+        # wall (stops the carried block AND the hand — the golden
+        # post-place hand parks against it at y ~ shelf_y + 0.04), and
+        # the two side walls
+        boxes=[
+            StaticBox(pos=(0.0, -0.015, 0.24), size=(0.1, 0.095, 0.01),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, -0.008, 0.021), size=(0.1, 0.088, 0.021),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, 0.09, 0.32), size=(0.1, 0.01, 0.32),
+                      rel_fixture=True),
+            StaticBox(pos=(-0.11, 0.0, 0.32), size=(0.01, 0.1, 0.32),
+                      rel_fixture=True),
+            StaticBox(pos=(0.11, 0.0, 0.32), size=(0.01, 0.1, 0.32),
+                      rel_fixture=True),
+        ],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )

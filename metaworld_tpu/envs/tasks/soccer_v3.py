@@ -103,12 +103,20 @@ def make_spec(task_id: int) -> TaskSpec:
         # a kick must not snag on centimeter-wide posts the real fingers
         # slip past (blocks_hand off)
         boxes=[
-            StaticBox(pos=(0.0, 0.09, 0.05), size=(0.18, 0.01, 0.05),
+            # goal frame from the compiled reference collision meshes
+            # (goal_col1-4 aabbs): posts at x = +-0.096 (half y 0.062,
+            # z to 0.17), a front-top bar between them at knuckle height
+            # (the golden post-kick hand parks against it at tcp y ~
+            # goal_y - 0.027 — the bar stops the HAND while the ball
+            # passes under), and the net back wall
+            StaticBox(pos=(0.0, 0.09, 0.05), size=(0.105, 0.01, 0.05),
                       rel_fixture=True, blocks_hand=False),
-            StaticBox(pos=(-0.18, 0.0, 0.05), size=(0.01, 0.1, 0.05),
-                      rel_fixture=True, blocks_hand=False),
-            StaticBox(pos=(0.18, 0.0, 0.05), size=(0.01, 0.1, 0.05),
-                      rel_fixture=True, blocks_hand=False),
+            StaticBox(pos=(-0.096, -0.012, 0.085), size=(0.008, 0.062, 0.085),
+                      rel_fixture=True),
+            StaticBox(pos=(0.096, -0.012, 0.085), size=(0.008, 0.062, 0.085),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, 0.0, 0.15), size=(0.105, 0.03, 0.025),
+                      rel_fixture=True),
         ],
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),

@@ -17,7 +17,8 @@ from metaworld_tpu.envs.core import TaskSpec, gripper_caging_reward, touching_ma
 from metaworld_tpu.envs.tasks import common
 from metaworld_tpu.physics import maths
 from metaworld_tpu.envs.tasks.stick_push_v3 import (
-    _THERMOS0_COM, _THERMOS0_REF_INIT, stick_scene, thermos_obs)
+    _THERMOS0_COM, _THERMOS0_REF_INIT, _THERMOS_KICK, stick_scene,
+    thermos_obs)
 from metaworld_tpu.rewards import utils as reward_utils
 
 # stick_end site local pos (assets/objects/assets/stick.xml:5)
@@ -34,6 +35,8 @@ def _reset(spec: TaskSpec, rand, rng):
     thermos = jnp.asarray(_THERMOS0_COM)
     return dict(
         obj_pos=common.pad_obj_pos(stick, thermos),
+        obj_vel=_THERMOS_KICK,  # reference reset leaves the container
+        # coasting +x at 0.6793 m/s (see stick_push_v3._THERMOS_KICK)
         obj_init_pos=common.pad_obj_pos(jnp.asarray(_THERMOS0_REF_INIT)),
         target=target,
         extras=common.extras_vec(stick[0], stick[1], stick[2]),

@@ -20,22 +20,47 @@ from metaworld_tpu.rewards import utils as reward_utils
 _THERMOS0_COM = (0.25, 0.6, 0.132)   # container body COM (physical)
 _THERMOS0_REF_INIT = (0.2, 0.6, 0.0)  # reference get_body_com at reset
 _THERMOS_OBS_OFF = (-0.05, 0.0, 0.0)  # observed handle site rel. COM
+# The reference's reset leaves the container with a +x velocity of
+# 0.6793 m/s (the 50-step hand-servo resolves the stick XML's default
+# interpenetration, and _set_stick_xyz zeroes only the STICK's qvel) —
+# identical for every goal of both stick tasks (measured on the live
+# reference, all seeds). The container coasts ~0.2 m into its +x slide
+# stop in the first ~25 steps of every episode.
+_THERMOS_KICK = np.zeros((2, 3))
+_THERMOS_KICK[1, 0] = 0.6793
 
 
 def stick_scene(link: bool):
     # stick-pull: the inserted stick tips ~0.34 rad because its far end
     # rests on the thermos handle (droop engages only once linked, see
     # engine droop_on); stick-push never inserts, tiny droop
+    #
+    # The container ("insertion" assembly) is a 2-dof slide body in the
+    # reference — slidex/slidey range +-0.2 around body (0.2, 0.6),
+    # damping 1.0 each, subtree mass 3.268 kg (compiled model) — so it is
+    # planar (no lift, viscous joint damping, no table Coulomb friction:
+    # the golden coast decays exactly as exp(-c t / M)). Its x reach
+    # toward the stick is the HANDLE rod (contact at 0.107 m from the
+    # COM; the stick's end face presses the handle's end cap), hence
+    # half_x=0.107. xy_range is the slide window mapped into our COM
+    # frame (push: obs==COM-0.05x; pull: the obs site additionally sits
+    # 0.09 south of the body, see thermos_obs).
     return build_scene(
         objs=[
             FreeObj(radius=0.025, half_x=0.05, half_h=0.02, graspable=True,
                     grasp_halfwidth=0.015, tool_off=(0.13, 0.0, 0.0),
                     droop=-0.34 if link else -0.05),
-            FreeObj(radius=0.045, half_h=0.132, graspable=False, mass=0.2),
+            FreeObj(radius=0.045, oo_half_x=0.107, half_h=0.132,
+                    graspable=False, mass=3.268, planar=True,
+                    lin_damping=1.0,
+                    xy_range=((0.05, 0.31, 0.45, 0.71) if link
+                              else (0.05, 0.40, 0.45, 0.80))),
         ],
         link_enable=link,
         link_handle_off=_THERMOS_OBS_OFF,
-        mocap_low=(-0.5, 0.40, 0.05),
+        # ref hand_low: stick-pull reaches to y 0.35 (sawyer_stick_push_v3
+        # py:26 vs sawyer_stick_pull_v3.py hand_low y=0.35)
+        mocap_low=(-0.5, 0.35 if link else 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )
 
@@ -59,6 +84,7 @@ def _reset(spec: TaskSpec, rand, rng):
     # = (0.2, 0.6, 0); the physical container sits at _THERMOS0_COM
     return dict(
         obj_pos=common.pad_obj_pos(stick, thermos),
+        obj_vel=_THERMOS_KICK,
         obj_init_pos=common.pad_obj_pos(jnp.asarray(_THERMOS0_REF_INIT)),
         target=target,
         extras=common.extras_vec(stick[0], stick[1], stick[2]),

@@ -140,6 +140,10 @@ _GRASP_Z_SPAN = 0.09     # pads (vertical plates) span tcp .. tcp+0.09 in z
 _HOOK_RADIUS = 0.045     # tcp-to-handle distance to hook a hookable fixture
 _GRAVITY = 9.81
 _MU_HAND = 1.0           # finger-vs-fixture Coulomb coefficient (hand pinning)
+_MU_TABLE = 1.5          # fingertip-vs-table Coulomb coefficient: calibrated
+                         # on the golden lever-pull retreat (mocap parked
+                         # 0.15 m below the surface, tcp creeps ~0.5 mm per
+                         # control step against a 0.3 m lateral weld stretch)
 
 
 def _norm(x, axis=None):
@@ -245,12 +249,21 @@ def _resolve_kinematic_contact(pos, vel, kin_pos, kin_vel, r_sum):
     return pos, vel, pen
 
 
-def _gripper_substep(sim: SimState, effort, clamp_gap, dt):
+_SQUEEZE_CREEP = 0.055   # m/s the claw closes THROUGH a caged-but-unattached
+                         # body (golden coffee-push: aperture 0.64 -> 0.30
+                         # over ~50 control steps while the mug is squeezed
+                         # out; a welded grasp clamps hard — golden
+                         # coffee-pull holds 0.65 for the whole drag)
+
+
+def _gripper_substep(sim: SimState, effort, clamp_gap, dt, hard):
     """Integrate the two finger slides one substep.
 
     ctrl = [effort, -effort] position targets (ref sawyer_xyz_env.py:595);
     `clamp_gap` is the minimum claw gap allowed by a caged object (inf when
-    nothing is grasped). Returns (gripper, gripper_vel, squeeze_force)."""
+    nothing is grasped); `hard` = the caged object is WELDED (clamp rigid)
+    vs merely caged (clamp yields at _SQUEEZE_CREEP).
+    Returns (gripper, gripper_vel, squeeze_force)."""
     gap = sim.gripper * GRIPPER_FULL_OPEN  # claw gap, open = 0.1
     # recover symmetric finger coordinates from the gap: q = (0.1 - gap)
     # split proportional to ranges (r moves up to .04, l up to .03)
@@ -273,9 +286,18 @@ def _gripper_substep(sim: SimState, effort, clamp_gap, dt):
 
     new_gap = GRIPPER_FULL_OPEN - (q_r_new - q_l_new)
     # contact clamp against a grasped object: fingers cannot close past it;
-    # squeeze force = remaining actuator drive while the clamp binds
+    # squeeze force = remaining actuator drive while the clamp binds. An
+    # unattached cage yields: the claw squeezes through at _SQUEEZE_CREEP
     clamped_gap = jnp.maximum(new_gap, clamp_gap)
     binds = clamp_gap > new_gap
+    # the creep floor is independent of the (bind-zeroed) finger ODE
+    # velocity: while the actuator drives into an unwelded cage, the gap
+    # shrinks at _SQUEEZE_CREEP down to the finger-range floor (0.03 m)
+    soft_gap = jnp.maximum(
+        jnp.minimum(clamped_gap, gap - _SQUEEZE_CREEP * dt),
+        GRIPPER_FULL_OPEN - (_R_RANGE[1] - _L_RANGE[0]),
+    )
+    clamped_gap = jnp.where(hard | ~binds, clamped_gap, soft_gap)
     squeeze = jnp.where(binds, jnp.maximum(_F_KP * (e - q_r_new), 0.0), 0.0)
     # when the clamp binds the fingers are stopped by the object — zero the
     # aperture velocity so a transient clamp doesn't inject a spike
@@ -423,13 +445,25 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # width the claws would close onto if the object is caged
         caged = _grasp_geometry(scene, sim, sim.obj_pos)
         can_grasp = caged & (scene.obj_graspable > 0) & (scene.obj_exists > 0)
+        # a caged-but-unwelded body SQUIRTS once the creeping claw closes
+        # past ~half its width (golden coffee-push: the mug pops out along
+        # the pad axis at aperture ~0.33 after 50 steps of squeeze-
+        # through): drop its cage so the claw closes freely, and eject it
+        squeezed_out = (
+            can_grasp & (sim.attached == 0)
+            & (gripper_gap(sim) < scene.obj_grasp_halfwidth)
+            & (scene.obj_hook_grasp == 0)
+        )
+        can_grasp = can_grasp & ~squeezed_out
         obj_gap = jnp.where(
             can_grasp | (sim.attached > 0),
             2.0 * scene.obj_grasp_halfwidth + PAD_GAP_INSET,
             0.0,  # no caged object: fingers close freely
         )
         clamp_gap = jnp.max(obj_gap)
-        gripper, gripper_vel, squeeze = _gripper_substep(sim, effort, clamp_gap, dt)
+        hard_clamp = jnp.any(sim.attached > 0)
+        gripper, gripper_vel, squeeze = _gripper_substep(
+            sim, effort, clamp_gap, dt, hard_clamp)
 
         # --- attach / detach ---
         gap_m = gripper * GRIPPER_FULL_OPEN
@@ -438,7 +472,19 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         gripping = (effort > 0.0) & (
             (squeeze > 0.0) | (scene.obj_hook_grasp > 0)
         )
-        newly = can_grasp & gripping & (sim.attached == 0)
+        # a STABLE weld additionally needs the grasp point x-centered in
+        # the claw (obj_grasp_x_tol): the tapered coffee mug wedges out
+        # of an off-diameter pinch — it stays CAGED (gap clamp + pad
+        # drag push it along) but never attaches, so the closing claw
+        # eventually squeezes past and the mug pops free, exactly the
+        # golden coffee-push sequence (drag north at hand speed, then
+        # eject at aperture ~0.3). Blocks keep the loose 0.035 via their
+        # default tol.
+        tight_x = (
+            jnp.abs((sim.obj_pos + scene.obj_grasp_off)[:, 0] - sim.hand[0])
+            < scene.obj_grasp_x_tol
+        )
+        newly = can_grasp & tight_x & gripping & (sim.attached == 0)
         attach_off = jnp.where(
             newly[:, None], sim.obj_pos - new_hand[None, :], sim.attach_off
         )
@@ -499,6 +545,18 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         )
         vel = jnp.where(planar[:, None], vel * visc[:, None], vel)
         vel = jnp.where(pinned_anchor[:, None], 0.0, vel)
+        # squirt: the over-squeezed body ejects along the pad axis away
+        # from the claw center at the golden pop speed (~0.2 m/s); table
+        # friction then parks it a few cm out
+        ej_sign = jnp.sign(
+            (sim.obj_pos + scene.obj_grasp_off)[:, 0] - sim.hand[0])
+        ej_sign = jnp.where(ej_sign == 0.0, -1.0, ej_sign)
+        vx_sq = jnp.where(
+            squeezed_out,
+            ej_sign * jnp.maximum(jnp.abs(vel[:, 0]), 0.2),
+            vel[:, 0],
+        )
+        vel = vel.at[:, 0].set(vx_sq)
         # nonexistent (padding) slots are pinned: without this they
         # free-fall forever (their ground support is exists-gated), and the
         # drifting ghost state defeats block-specialized fast paths
@@ -586,14 +644,31 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             pad_push_depth.append(depth2 * scene.obj_exists)
             pad_side_hit.append(side2 & (scene.obj_exists > 0))
 
-        # object-object contact (two-object scenes), symmetric resolution:
-        # the separation splits between the bodies by mobility — an
-        # attached/pinned body is an immovable anchor, two free bodies
-        # each take half (equal-mass split)
+        # object-object contact (the stick scenes are the only two-free-
+        # body scenes), symmetric resolution. Axis-separated AABB test so
+        # rod x-extents (obj_half_x) participate: the golden stick-push
+        # contact is the stick's end face on the container HANDLE's end
+        # cap at 0.157 m of COM separation (stick box half 0.05 + handle
+        # reach 0.107, ref sawyer_stick_obj.xml) — far outside any
+        # sphere-radius sum. The separation splits by mobility: an
+        # attached/pinned body is an immovable anchor; so is an
+        # xy-limited planar body parked BEYOND its slide range — its
+        # limit constraint outmuscles the contact (golden stick-push:
+        # the container holds 6-8 mm past its +x stop against the held
+        # stick for 400 steps).
         delta = pos[0] - pos[1]
-        dist = _norm(delta)
-        r_sum = scene.obj_radius[0] + scene.obj_radius[1]
-        pen = jnp.maximum(r_sum - dist, 0.0)
+        half_sum_oo = jnp.stack([
+            scene.obj_oo_half_x[0] + scene.obj_oo_half_x[1],
+            scene.obj_radius[0] + scene.obj_radius[1],
+            scene.obj_half_h[0] + scene.obj_half_h[1],
+        ])
+        pen_ax_oo = half_sum_oo - jnp.abs(delta)
+        hit_oo = jnp.all(pen_ax_oo > 0.0)
+        ax_oo = jnp.argmin(pen_ax_oo)
+        hot_oo = (jnp.arange(3) == ax_oo).astype(pos.dtype)
+        d_ax_oo = jnp.sum(hot_oo * delta)
+        n = hot_oo * jnp.where(d_ax_oo >= 0.0, 1.0, -1.0)
+        pen = jnp.where(hit_oo, jnp.sum(hot_oo * pen_ax_oo), 0.0)
         # in link scenes (stick-pull) the tool tip passes THROUGH the ring
         # handle — no body contact, the hook link carries the interaction
         both = (
@@ -601,18 +676,37 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             & (scene.obj_exists[1] > 0)
             & (scene.link_enable == 0)
         )
-        n = delta / jnp.maximum(dist, 1e-9)
-        mobile = (sim.attached == 0) & ~pinned_anchor & (scene.obj_exists > 0)
+        viol_oo = (
+            jnp.minimum(pos[:, :2] - scene.obj_xy_lo, 0.0)
+            + jnp.maximum(pos[:, :2] - scene.obj_xy_hi, 0.0)
+        )
+        beyond_range = (scene.obj_xy_limited > 0) & (
+            jnp.sum(jnp.abs(viol_oo), axis=1) > 1e-9
+        )
+        mobile = ((sim.attached == 0) & ~pinned_anchor
+                  & (scene.obj_exists > 0) & ~beyond_range)
         w_tot = jnp.maximum(mobile[0] + mobile[1] * 1.0, 1.0)
         w = mobile / w_tot  # (2,) fraction of the separation each body takes
         sign = jnp.array([[1.0], [-1.0]])  # +n moves obj0 away from obj1
         active = both & (pen > 0.0)
         pos = pos + sign * (jnp.where(active, pen, 0.0) * w[:, None]) * n[None, :]
-        v_n = jnp.dot(vel[0] - vel[1], n)  # approach rate when negative... (>0 = separating along +n? no: v_n>0 means obj0 moving toward +n i.e. apart)
+        v_n = jnp.dot(vel[0] - vel[1], n)  # <0 = approaching along n
         approaching = v_n < 0.0
         vel = vel - sign * (
             jnp.where(active & approaching, v_n, 0.0) * w[:, None]
         ) * n[None, :]
+        # a HELD pusher drags the contacted body tangentially: the weld
+        # supplies the normal force and the rubbing friction carries the
+        # lateral motion (golden stick-push walks the stop-jammed
+        # container +y at essentially mocap speed for 400 steps)
+        held_oo = sim.attached > 0
+        drag_on = active & (held_oo[0] | held_oo[1])
+        dv_oo = hand_vel[None, :] - vel
+        dv_oo_t = dv_oo - n[None, :] * jnp.sum(
+            dv_oo * n[None, :], axis=1, keepdims=True)
+        take_oo = ((mobile & ~held_oo)[:, None]
+                   * jnp.where(drag_on, 0.8, 0.0))
+        vel = vel + dv_oo_t * take_oo
 
         # static boxes (walls, bins, shelves, pegs)
         box_pos, box_size = _static_boxes_world(scene, sim.fixture_pos)
@@ -801,6 +895,43 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         corr_att = corr_att * (attached > 0)[:, None]
         att_pos = att_pos + corr_att
         new_hand = new_hand + jnp.sum(corr_att, axis=0)
+        # attached-tool chain jam: a held tool overlapping a body parked
+        # BEYOND its slide range cannot advance — the stop force chains
+        # tool -> grip -> weld and parks the HAND (golden stick-push:
+        # hand+stick stall 0.17 m short of the mocap against the
+        # container's +x stop, tcp x 0.335 vs mocap 0.5). The remaining
+        # overlap resolves onto the hand (grip rigid, weld yields); xy
+        # only — z is the grip-slip support's job.
+        jam_h = jnp.zeros(3)
+        for i_, j_ in ((0, 1), (1, 0)):
+            dj = att_pos[i_] - pos[j_]
+            pen_ax_j = half_sum_oo - jnp.abs(dj)
+            hit_j = (
+                jnp.all(pen_ax_j > 0.0) & (attached[i_] > 0)
+                & beyond_range[j_] & (scene.obj_exists[i_] > 0)
+                & (scene.obj_exists[j_] > 0) & (scene.link_enable == 0)
+            )
+            axj = jnp.argmin(pen_ax_j)
+            hotj = (jnp.arange(3) == axj).astype(dj.dtype)
+            nj = hotj * jnp.where(jnp.sum(hotj * dj) >= 0.0, 1.0, -1.0)
+            corr_j = nj * jnp.where(hit_j, jnp.sum(hotj * pen_ax_j), 0.0)
+            jam_h = jam_h + corr_j * jnp.array([1.0, 1.0, 0.0])
+        # grip slip along the jam: the pads hold the rod only by friction,
+        # so the stop force first drags the rod THROUGH the grip — the
+        # golden stick-push tcp ends 34 mm east of the jammed stick COM,
+        # which is what flips the reward's razor-thin `tcp_to_stick <
+        # 0.02` holding gate — and only once the rod's end reaches the
+        # pads (~35 mm of travel) does the claw itself park.
+        jam_n = _norm(jam_h)
+        jam_dir = jam_h / jnp.maximum(jam_n, 1e-9)
+        proj_slip = jnp.sum(
+            (attached > 0)
+            * jnp.sum(attach_off * jam_dir[None, :], axis=1))
+        slip_g = jnp.clip(0.035 - proj_slip, 0.0, jam_n)
+        slip_vec = jam_dir * slip_g
+        attach_off = attach_off + slip_vec[None, :] * (attached > 0)[:, None]
+        att_pos = att_pos + jam_h[None, :] * (attached > 0)[:, None]
+        new_hand = new_hand + (jam_h - slip_vec)
         pos = jnp.where((attached > 0)[:, None], att_pos, pos)
         vel = jnp.where((attached > 0)[:, None], hand_vel[None, :], vel)
 
@@ -1006,11 +1137,19 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # the bar (golden faucet: the tcp rides the handle for ~30 steps of
         # downward mocap drag, then slips under it in 3 steps). The motion-
         # axis component normally drives the joint instead of loading the
-        # grip, but when the joint is range-pinned it loads the grip too —
+        # grip, but when the joint is RANGE-PINNED it loads the grip too —
         # the TOTAL-stretch bound covers that (a wrap parked on a range
-        # stop must rip off rather than deadlock the arm).
+        # stop must rip off rather than deadlock the arm). The total bound
+        # is GATED on the stop: a mid-range joint under a huge motion-axis
+        # stretch is simply being dragged (golden lever-pull: the wrapped
+        # ball follows the table-pinned hand's 0.5 mm/step creep for 250
+        # steps while the mocap parks 0.36 m away — an ungated rip-off
+        # froze the lever at the slip instant).
+        at_stop = (q <= scene.joint_range[:, 0] + 1e-6) | (
+            q >= scene.joint_range[:, 1] - 1e-6
+        )
         slip = (gap_perp_n > _HOOK_SLIP) | (
-            _norm(gap_w, axis=1) > 2.0 * _HOOK_SLIP
+            at_stop & (_norm(gap_w, axis=1) > 2.0 * _HOOK_SLIP)
         )
         unhook = (
             (effort <= 0.0) | (d_xy > 0.12) | (d_z < -0.15) | (d_z > 0.2)
@@ -1247,16 +1386,24 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # the claw crosses to reach the handle (door-open froze there).
         pivot_w = sim.fixture_pos[None, :] + scene.joint_anchor
         panel_shift = scene.joint_panel_off[:, None] * motion
-        for frac in (0.45, 0.65, 0.85):
-            station = pivot_w + frac * (handle - pivot_w + panel_shift)
-            st_lever = jnp.maximum(lever * frac, 1e-6)
-            for center, center_prev, r_part in (
-                (new_hand, sim.hand, 0.012),
-                (knuckle, knuckle_prev, 0.032),
-            ):
-                parts.append(sphere_part(center, center_prev, r_part,
-                                         station, st_lever,
-                                         weight=scene.joint_panel))
+        # CONTINUOUS station: the panel is a solid slab, so each part
+        # presses at ITS projection onto the pivot->handle span (fixed
+        # fractional stations left ~8 cm dead gaps — the door-close
+        # scripted push lands between stations and the door never moved)
+        span_p = handle - pivot_w + panel_shift
+        span_n2 = jnp.sum(span_p * span_p, axis=1)
+        for center, center_prev, r_part in (
+            (new_hand, sim.hand, 0.012),
+            (knuckle, knuckle_prev, 0.032),
+        ):
+            fr = jnp.sum((center[None, :] - pivot_w) * span_p, axis=1) \
+                / jnp.maximum(span_n2, 1e-9)
+            fr = jnp.clip(fr, 0.3, 0.97)
+            station = pivot_w + fr[:, None] * span_p
+            st_lever = jnp.maximum(lever * fr, 1e-6)
+            parts.append(sphere_part(center, center_prev, r_part,
+                                     station, st_lever,
+                                     weight=scene.joint_panel))
 
         dq_parts = jnp.stack([p[0] for p in parts])  # (n_parts, MAX_JOINT)
         qv_hi = jnp.min(jnp.stack([p[1] for p in parts]), axis=0)
@@ -1270,8 +1417,22 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # descends fully around these bars (handle-pull golden traces put
         # the tcp 4 cm below the bar top before lifting), so the press
         # projection and its hand backoff must yield inside the capture
-        # volume or the claw can never reach the hook-engagement pose
-        grabbing = (scene.joint_hookable > 0) & in_claw & (effort > 0.0)
+        # volume or the claw can never reach the hook-engagement pose.
+        # For HOOK_CARRY joints (the lever ball that only RESTS on the
+        # claw) the suppression is additionally gated on the hook-engage
+        # hysteresis: once the wrap has slipped (hand parked far off its
+        # weld target), the claw is not wrapping — it is a rigid obstacle
+        # the ball leans on, and the press must act (golden lever-pull:
+        # the slipped ball rides the hand's table-pinned creep for 250
+        # steps; suppressing the press froze the lever at the slip
+        # instant). True wrap joints (door/faucet/handle bars) keep the
+        # unconditional suppression — their claw stays geometrically
+        # around the bar even when the weld stretch is large.
+        grabbing = (
+            (scene.joint_hookable > 0) & in_claw & (effort > 0.0)
+            & ((scene.joint_hook_carry == 0)
+               | (gap_perp_n < _HOOK_SLIP - 0.03))
+        )
         dq = jnp.where(grabbing, 0.0, dq)
         qv_hi = jnp.where(grabbing, _BIG_QV, qv_hi)
         qv_lo = jnp.where(grabbing, -_BIG_QV, qv_lo)
@@ -1427,12 +1588,28 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # bottom out on the table (or pit floor) at tcp ~ support - 0.01
         # (golden-trace tcp minima: -0.009..+0.002 across the solid-table
         # scenes) — without this the open-loop hand dives through the
-        # table whenever the recorded policy keeps pressing down. A pure
-        # z-projection (no Coulomb pin): the reference slides the pressed
-        # claw laterally (sweep/push press-and-drag), so table contact
-        # must not freeze xy.
+        # table whenever the recorded policy keeps pressing down. The
+        # contact carries a Coulomb stick/slip pin (same cone as the
+        # static-box pin above): when the weld drives the mocap BELOW the
+        # surface, the blocked normal demand loads the fingertips and
+        # friction holds them laterally — golden lever-pull parks the tcp
+        # at the lever (creeping ~0.5 mm/control step) while the mocap
+        # retreats 0.4 m at z = -0.15; hand-insert freezes the hand in the
+        # pit the same way. Press-and-DRAG tasks are untouched: their
+        # mocap stays 30-50 mm ABOVE the tcp (sweep/push/dial golden
+        # traces), so the support never blocks motion and the pin's
+        # normal demand is zero.
         tbl = _support_z(scene, new_hand[:2]) - 0.010
-        new_hand = new_hand.at[2].set(jnp.maximum(new_hand[2], tbl))
+        blocked_z = jnp.maximum(tbl - new_hand[2], 0.0)
+        dv_sx = new_hand[:2] - sim.hand[:2]
+        t_mag_s = _norm(dv_sx)
+        t_allow_s = jnp.maximum(t_mag_s - _MU_TABLE * blocked_z, 0.0)
+        scale_s = jnp.where(blocked_z > 1e-9,
+                            t_allow_s / jnp.maximum(t_mag_s, 1e-9), 1.0)
+        new_hand = jnp.concatenate([
+            sim.hand[:2] + dv_sx * scale_s,
+            (new_hand[2] + blocked_z)[None],
+        ])
         hand_vel = (new_hand - sim.hand) / dt
         qv = (q_new - q) / dt
         # inelastic press contacts: a COASTING fixture that catches a live

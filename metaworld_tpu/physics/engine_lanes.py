@@ -49,6 +49,8 @@ from metaworld_tpu.physics.engine import (
     _D_SLIDE_LIM,
     _L_RANGE,
     _MU_HAND,
+    _MU_TABLE,
+    _SQUEEZE_CREEP,
     _PAD_TIP_BEVEL,
     _R_RANGE,
     _WELD_K,
@@ -279,6 +281,8 @@ def scene_lanes(scene: SceneParams) -> _NS:
     sc.o_type = [g.obj_type[..., i] for i in range(MAX_OBJ)]
     sc.o_radius = [g.obj_radius[..., i] for i in range(MAX_OBJ)]
     sc.o_half_x = [g.obj_half_x[..., i] for i in range(MAX_OBJ)]
+    sc.o_oo_half_x = [g.obj_oo_half_x[..., i] for i in range(MAX_OBJ)]
+    sc.o_grasp_x_tol = [g.obj_grasp_x_tol[..., i] for i in range(MAX_OBJ)]
     sc.o_half_h = [g.obj_half_h[..., i] for i in range(MAX_OBJ)]
     sc.o_graspable = [g.obj_graspable[..., i] for i in range(MAX_OBJ)]
     sc.o_ghw = [g.obj_grasp_halfwidth[..., i] for i in range(MAX_OBJ)]
@@ -630,7 +634,7 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
 
     # --- grasped-object gap clamp (engine.py:422-432 + _grasp_geometry) ---
     gap0 = st["gripper"] * GRIPPER_FULL_OPEN
-    caged, can_grasp = [], []
+    caged, can_grasp, squeezed_out = [], [], []
     if with_objects:
         for i in range(MAX_OBJ):
             gp = _add3(st["obj_pos"][i], sc.o_grasp_off[i])
@@ -640,7 +644,12 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             near_z = (rel[2] > -0.025) & (rel[2] < _GRASP_Z_SPAN)
             c = between & near_x & near_z
             caged.append(c)
-            can_grasp.append(c & (sc.o_graspable[i] > 0) & (sc.o_exists[i] > 0))
+            cg = c & (sc.o_graspable[i] > 0) & (sc.o_exists[i] > 0)
+            # over-squeeze squirt gate (engine.py squeezed_out)
+            sq = (cg & (st["attached"][i] == 0)
+                  & (gap0 < sc.o_ghw[i]) & (sc.o_hookg[i] == 0))
+            squeezed_out.append(sq)
+            can_grasp.append(cg & ~sq)
         obj_gap = [
             jnp.where(can_grasp[i] | (st["attached"][i] > 0),
                       2.0 * sc.o_ghw[i] + PAD_GAP_INSET, 0.0)
@@ -669,6 +678,16 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
     new_gap = GRIPPER_FULL_OPEN - (q_r_new - q_l_new)
     clamped_gap = jnp.maximum(new_gap, clamp_gap)
     binds = clamp_gap > new_gap
+    # squeeze-through creep for an unattached cage (engine.py clamp)
+    if with_objects:
+        hard_clamp = st["attached"][0] > 0
+        for i in range(1, MAX_OBJ):
+            hard_clamp = hard_clamp | (st["attached"][i] > 0)
+        soft_gap = jnp.maximum(
+            jnp.minimum(clamped_gap, gap0 - _SQUEEZE_CREEP * dt),
+            GRIPPER_FULL_OPEN - (_R_RANGE[1] - _L_RANGE[0]),
+        )
+        clamped_gap = jnp.where(hard_clamp | ~binds, clamped_gap, soft_gap)
     squeeze = jnp.where(binds, jnp.maximum(_F_KP * (e - q_r_new), 0.0), 0.0)
     gripper_vel = jnp.where(binds, 0.0, (clamped_gap - gap0) / dt / GRIPPER_FULL_OPEN)
     gripper = clamped_gap / GRIPPER_FULL_OPEN
@@ -679,7 +698,12 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
         attached, attach_off, unanchored = [], [], []
         for i in range(MAX_OBJ):
             gripping = (effort > 0.0) & ((squeeze > 0.0) | (sc.o_hookg[i] > 0))
-            newly = can_grasp[i] & gripping & (st["attached"][i] == 0)
+            # weld gated on x-centering (engine.py tight_x)
+            tight_x = (
+                jnp.abs(st["obj_pos"][i][0] + sc.o_grasp_off[i][0]
+                        - hand0[0]) < sc.o_grasp_x_tol[i]
+            )
+            newly = can_grasp[i] & tight_x & gripping & (st["attached"][i] == 0)
             ao = _where3(newly, _sub3(st["obj_pos"][i], new_hand), st["attach_off"][i])
             att = jnp.where(newly, 1.0, st["attached"][i])
             una = jnp.where(newly, 1.0, st["unanchored"][i])
@@ -718,6 +742,14 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             v3 = (v3[0], v3[1], vz)
             v3 = _where3(planar, _scale3(v3, sc.visc[i]), v3)
             v3 = _where3(pa, (0.0 * v3[0], 0.0 * v3[1], 0.0 * v3[2]), v3)
+            # over-squeeze squirt along the pad axis (engine.py squirt)
+            ej_sign = jnp.sign(st["obj_pos"][i][0] + sc.o_grasp_off[i][0]
+                               - hand0[0])
+            ej_sign = jnp.where(ej_sign == 0.0, -1.0, ej_sign)
+            vx_sq = jnp.where(
+                squeezed_out[i],
+                ej_sign * jnp.maximum(jnp.abs(v3[0]), 0.2), v3[0])
+            v3 = (vx_sq, v3[1], v3[2])
             # pin nonexistent (padding) slots (see engine.py)
             ex = sc.o_exists[i] > 0
             v3 = tuple(v3[k] * ex for k in range(3))
@@ -777,15 +809,37 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             pad_push_depth.append(depths)
             pad_side_hit.append(sides)
 
-        # --- object-object contact (engine.py:584-610) ---
+        # --- object-object contact (engine.py obj-obj AABB block): axis-
+        # separated AABB with the OO x-reach (o_oo_half_x), mobility split
+        # with beyond-slide-range bodies as anchors, held-pusher drag ---
         delta01 = _sub3(pos[0], pos[1])
-        dist01 = _norm3(delta01)
-        r_sum01 = sc.o_radius[0] + sc.o_radius[1]
-        pen01 = jnp.maximum(r_sum01 - dist01, 0.0)
+        hs_oo = (sc.o_oo_half_x[0] + sc.o_oo_half_x[1],
+                 sc.o_radius[0] + sc.o_radius[1],
+                 sc.o_half_h[0] + sc.o_half_h[1])
+        pen_ax = tuple(hs_oo[k] - jnp.abs(delta01[k]) for k in range(3))
+        hit_oo = (pen_ax[0] > 0.0) & (pen_ax[1] > 0.0) & (pen_ax[2] > 0.0)
+        pick0, pick1, _ = _argmin3(*pen_ax)
+        d_ax = _sel3(pick0, pick1, delta01[0], delta01[1], delta01[2])
+        sgn_oo = jnp.where(d_ax >= 0.0, 1.0, -1.0)
+        mag_oo = jnp.where(hit_oo,
+                           _sel3(pick0, pick1, pen_ax[0], pen_ax[1], pen_ax[2]),
+                           0.0)
+        n01 = (jnp.where(pick0, sgn_oo, 0.0),
+               jnp.where(pick1, sgn_oo, 0.0),
+               jnp.where(pick0 | pick1, 0.0, sgn_oo))
+        pen01 = mag_oo
         both = ((sc.o_exists[0] > 0) & (sc.o_exists[1] > 0)
                 & (sc.link_enable == 0))
-        n01 = _scale3(delta01, 1.0 / jnp.maximum(dist01, 1e-9))
-        mobile = [(st["attached"][i] == 0) & ~pinned_anchor[i] & (sc.o_exists[i] > 0)
+        beyond_range = []
+        for i in range(MAX_OBJ):
+            v_abs = 0.0
+            for k in range(2):
+                viol_k = (jnp.minimum(pos[i][k] - sc.o_xy_lo[i][k], 0.0)
+                          + jnp.maximum(pos[i][k] - sc.o_xy_hi[i][k], 0.0))
+                v_abs = v_abs + jnp.abs(viol_k)
+            beyond_range.append((sc.o_xy_limited[i] > 0) & (v_abs > 1e-9))
+        mobile = [(st["attached"][i] == 0) & ~pinned_anchor[i]
+                  & (sc.o_exists[i] > 0) & ~beyond_range[i]
                   for i in range(MAX_OBJ)]
         w_tot = jnp.maximum(mobile[0] + mobile[1] * 1.0, 1.0)
         w = [mobile[i] / w_tot for i in range(2)]
@@ -798,6 +852,14 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
         vn_act = jnp.where(active01 & approaching, v_n01, 0.0)
         vel[0] = _sub3(vel[0], _scale3(n01, vn_act * w[0]))
         vel[1] = _add3(vel[1], _scale3(n01, vn_act * w[1]))
+        # held-pusher tangential drag (engine.py obj-obj drag)
+        drag_on = active01 & ((st["attached"][0] > 0) | (st["attached"][1] > 0))
+        for i in range(MAX_OBJ):
+            dv_oo = _sub3(hand_vel, vel[i])
+            dv_oo_t = _sub3(dv_oo, _scale3(n01, _dot3(dv_oo, n01)))
+            take = (mobile[i] & (st["attached"][i] == 0)) * jnp.where(
+                drag_on, 0.8, 0.0)
+            vel[i] = _add3(vel[i], _scale3(dv_oo_t, take))
 
         # --- static boxes (engine.py:612-628) ---
         def _box_contacts(p, r):
@@ -934,6 +996,43 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             corr_att = _scale3(corr_att, (attached[i] > 0))
             att_pos[i] = _add3(att_pos[i], corr_att)
             new_hand = _add3(new_hand, corr_att)
+        # attached-tool chain jam (engine.py chain-jam block): a held tool
+        # overlapping a body parked beyond its slide range parks the hand
+        jam_hx, jam_hy = 0.0, 0.0
+        for i_, j_ in ((0, 1), (1, 0)):
+            dj = _sub3(att_pos[i_], pos[j_])
+            pen_ax_j = tuple(hs_oo[k] - jnp.abs(dj[k]) for k in range(3))
+            hit_j = (
+                (pen_ax_j[0] > 0.0) & (pen_ax_j[1] > 0.0) & (pen_ax_j[2] > 0.0)
+                & (attached[i_] > 0) & beyond_range[j_]
+                & (sc.o_exists[i_] > 0) & (sc.o_exists[j_] > 0)
+                & (sc.link_enable == 0)
+            )
+            p0, p1, _ = _argmin3(*pen_ax_j)
+            dja = _sel3(p0, p1, dj[0], dj[1], dj[2])
+            sgn_j = jnp.where(dja >= 0.0, 1.0, -1.0)
+            mag_j = jnp.where(
+                hit_j, _sel3(p0, p1, pen_ax_j[0], pen_ax_j[1], pen_ax_j[2]),
+                0.0)
+            jam_hx = jam_hx + jnp.where(p0, mag_j * sgn_j, 0.0)
+            jam_hy = jam_hy + jnp.where(p1, mag_j * sgn_j, 0.0)
+        jam_h3 = (jam_hx, jam_hy, 0.0)
+        # grip slip along the jam (engine.py grip-slip block, ~35 mm budget)
+        jam_n = _norm3(jam_h3)
+        jam_dir = _scale3(jam_h3, 1.0 / jnp.maximum(jam_n, 1e-9))
+        proj_slip = 0.0
+        for i in range(MAX_OBJ):
+            proj_slip = proj_slip + (attached[i] > 0) * _dot3(
+                attach_off[i], jam_dir)
+        slip_g = jnp.clip(0.035 - proj_slip, 0.0, jam_n)
+        slip_vec = _scale3(jam_dir, slip_g)
+        for i in range(MAX_OBJ):
+            attach_off[i] = _where3(attached[i] > 0,
+                                    _add3(attach_off[i], slip_vec),
+                                    attach_off[i])
+            att_pos[i] = _where3(attached[i] > 0, _add3(att_pos[i], jam_h3),
+                                 att_pos[i])
+        new_hand = _add3(new_hand, _sub3(jam_h3, slip_vec))
         for i in range(MAX_OBJ):
             pos[i] = _where3(attached[i] > 0, att_pos[i], pos[i])
             vel[i] = _where3(attached[i] > 0, hand_vel, vel[i])
@@ -1063,7 +1162,13 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             vert = jnp.abs(_motion_dir(sc, j, st["joint_q"][j])[2])
             wedge = jnp.where((effort > 0.0) & (hk > 0), _WEDGE_A * vert, 0.0)
             ho = ho * (1.0 - wedge)
-            slip = (gap_perp_n > _HOOK_SLIP) | (_norm3(gap_w) > 2.0 * _HOOK_SLIP)
+            # total-stretch rip-off gated on a range stop (engine.py slip)
+            at_stop = (st["joint_q"][j] <= sc.j_range[j][0] + 1e-6) | (
+                st["joint_q"][j] >= sc.j_range[j][1] - 1e-6
+            )
+            slip = (gap_perp_n > _HOOK_SLIP) | (
+                at_stop & (_norm3(gap_w) > 2.0 * _HOOK_SLIP)
+            )
             unhook = ((effort <= 0.0) | (d_xy > 0.12) | (d_z < -0.15) | (d_z > 0.2)
                       | slip)
             hk = jnp.where(unhook, 0.0, hk) * sc.j_exists[j]
@@ -1179,20 +1284,24 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
                                         _qrot(st["obj_quat"][i], sc.o_tool_off[i]))
                     parts.append(sphere_part(j, tool_i, tool_i_prev, 0.02,
                                              weight=sc.o_exists[i]))
-            # panel stations (engine.py:1218-1236)
+            # panel stations — CONTINUOUS projection per part (engine.py
+            # panel-station block)
             pivot_w = _add3(fixture, sc.j_anchor[j])
             panel_shift = _scale3(motion[j], sc.j_panel_off[j])
             span = _add3(_sub3(handle[j], pivot_w), panel_shift)
-            for frac in (0.45, 0.65, 0.85):
-                station = _add3(pivot_w, _scale3(span, frac))
-                st_lever = jnp.maximum(sc.lever[j] * frac, 1e-6)
-                for center, center_prev, r_part in (
-                    (new_hand, hand0, 0.012),
-                    (knuckle, knuckle_prev, 0.032),
-                ):
-                    parts.append(sphere_part(j, center, center_prev, r_part,
-                                             station, st_lever,
-                                             weight=sc.j_panel[j]))
+            span_n2 = _dot3(span, span)
+            for center, center_prev, r_part in (
+                (new_hand, hand0, 0.012),
+                (knuckle, knuckle_prev, 0.032),
+            ):
+                fr = _dot3(_sub3(center, pivot_w), span) \
+                    / jnp.maximum(span_n2, 1e-9)
+                fr = jnp.clip(fr, 0.3, 0.97)
+                station = _add3(pivot_w, _scale3(span, fr))
+                st_lever = jnp.maximum(sc.lever[j] * fr, 1e-6)
+                parts.append(sphere_part(j, center, center_prev, r_part,
+                                         station, st_lever,
+                                         weight=sc.j_panel[j]))
 
         dq_j, qv_hi_j, qv_lo_j = [], [], []
         for j in range(MAX_JOINT):
@@ -1207,7 +1316,12 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
                 lo = jnp.maximum(lo, p[2])
             dq = dq_pos + dq_neg
             # grab suppression (engine.py:1245-1254)
-            grabbing = (sc.j_hookable[j] > 0) & in_claw_j[j] & (effort > 0.0)
+            # hook_carry joints gate on the engage hysteresis (engine.py)
+            grabbing = (
+                (sc.j_hookable[j] > 0) & in_claw_j[j] & (effort > 0.0)
+                & ((sc.j_hook_carry[j] == 0)
+                   | (gap_perp_j[j] < _HOOK_SLIP - 0.03))
+            )
             dq = jnp.where(grabbing, 0.0, dq)
             hi = jnp.where(grabbing, _BIG_QV, hi)
             lo = jnp.where(grabbing, -_BIG_QV, lo)
@@ -1329,11 +1443,20 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
         hook_off = [st["hook_off"][j] for j in range(MAX_JOINT)]
         hook_hoff = [st["hook_hoff"][j] for j in range(MAX_JOINT)]
 
-    # table support under the claw (engine.py:1403-1412) — moved after
-    # the joint-velocity block (order-independent: that block does not read
-    # new_hand), so the support also applies when with_joints is False
+    # table support under the claw with the Coulomb stick/slip pin
+    # (engine.py table-support block) — moved after the joint-velocity
+    # block (order-independent: that block does not read new_hand), so
+    # the support also applies when with_joints is False
     tbl = _support_z(sc, new_hand[0], new_hand[1]) - 0.010
-    new_hand = (new_hand[0], new_hand[1], jnp.maximum(new_hand[2], tbl))
+    blocked_z = jnp.maximum(tbl - new_hand[2], 0.0)
+    dv_sx = new_hand[0] - hand0[0]
+    dv_sy = new_hand[1] - hand0[1]
+    t_mag_s = jnp.sqrt(jnp.maximum(dv_sx * dv_sx + dv_sy * dv_sy, 1e-24))
+    t_allow_s = jnp.maximum(t_mag_s - _MU_TABLE * blocked_z, 0.0)
+    scale_s = jnp.where(blocked_z > 1e-9,
+                        t_allow_s / jnp.maximum(t_mag_s, 1e-9), 1.0)
+    new_hand = (hand0[0] + dv_sx * scale_s, hand0[1] + dv_sy * scale_s,
+                new_hand[2] + blocked_z)
     hand_vel = tuple((new_hand[k] - hand0[k]) / dt for k in range(3))
 
 

@@ -52,6 +52,8 @@ _SC_SPEC = [
     ("o_type", "ls", MAX_OBJ, False),
     ("o_radius", "ls", MAX_OBJ, False),
     ("o_half_x", "ls", MAX_OBJ, False),
+    ("o_oo_half_x", "ls", MAX_OBJ, False),
+    ("o_grasp_x_tol", "ls", MAX_OBJ, False),
     ("o_half_h", "ls", MAX_OBJ, False),
     ("o_graspable", "ls", MAX_OBJ, False),
     ("o_ghw", "ls", MAX_OBJ, False),

@@ -80,6 +80,14 @@ class SceneParams:
     obj_half_x: jnp.ndarray      # (MAX_OBJ,) x half-extent for the pad-contact
                                  # AABB (rods like the stick are long along x;
                                  # resolved to radius at build time when equal)
+    obj_oo_half_x: jnp.ndarray   # (MAX_OBJ,) x half-extent for OBJECT-OBJECT
+                                 # contact (the stick-push container's handle
+                                 # rod reaches 0.107 m from the COM — far
+                                 # outside its pad-contact body; resolved to
+                                 # obj_half_x at build time when unset)
+    obj_grasp_x_tol: jnp.ndarray  # (MAX_OBJ,) max |x| grasp-point offset for
+                                 # a stable cage (tapered mugs eject when
+                                 # pinched off-diameter; see scene_builder)
     obj_half_h: jnp.ndarray      # (MAX_OBJ,) COM height above support when resting
     obj_mass: jnp.ndarray        # (MAX_OBJ,)
     obj_graspable: jnp.ndarray   # (MAX_OBJ,) 0/1 — can be caged by the pads
