@@ -79,10 +79,20 @@ def _reward(spec: TaskSpec, state, obs, action):
 @registry.register("sweep-into-v3")
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
-        objs=[FreeObj(radius=0.02, half_h=0.07, graspable=True, grasp_halfwidth=0.0227)],
+        objs=[FreeObj(radius=0.02, half_h=0.02, graspable=True, grasp_halfwidth=0.0227)],
+        # real geometry from the live reference model: tabletop slabs at
+        # +0.05 (table_z) with the 0.02-half cube resting at COM 0.07;
+        # hole span x [-0.08, 0.08], y [0.76, 0.92]. The pit is modeled
+        # 0.05 deep (floor at 0) so the fallen block rests at z 0.02 —
+        # exactly where the golden block wedges at the hole's north rim
+        # (it never reaches the true -0.05 pit floor). The true tabletop
+        # height matters for the HAND: the sweeping claw bottoms out at
+        # tcp ~ 0.04 as the reference does (a z=0 table let it dive 50 mm
+        # lower and carry the caged block high).
         hole_center=(0.0, 0.84),
-        hole_halfsize=(0.05, 0.05),
+        hole_halfsize=(0.08, 0.08),
         pit_depth=0.05,
+        table_z=0.05,
         mocap_low=(-0.5, 0.40, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )

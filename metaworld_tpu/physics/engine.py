@@ -519,9 +519,17 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         off_xy = target_xy + (attach_off[:, :2] - target_xy) * (1.0 - settle)
         canon_z = 0.006 - scene.obj_grasp_off[:, 2]
         off_z = attach_off[:, 2]
+        # upward settle only once the object is OFF its support: a squeeze
+        # cannot levitate a resting block off the table — the golden
+        # sweep-into claw cages the block low and sweeps it AT table
+        # height (block z stays 0.07 until the hole swallows it); an
+        # ungated settle hoisted it 40 mm mid-sweep
+        sup_settle = jax.vmap(lambda p: _support_z(scene, p[:2]))(sim.obj_pos)
+        resting_now = sim.obj_pos[:, 2] <= sup_settle + scene.obj_half_h + 1e-4
+        settle_up = settle * (1.0 - resting_now)
         off_z = jnp.where(
             off_z < canon_z,
-            off_z + (canon_z - off_z) * settle,
+            off_z + (canon_z - off_z) * settle_up,
             off_z + (canon_z - off_z) * settle_dn,
         )
         settled = jnp.concatenate([off_xy, off_z[:, None]], axis=1)

@@ -713,16 +713,22 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             )
             att = jnp.where(release, 0.0, att)
             att = att * sc.o_exists[i] * sc.o_graspable[i]
-            # in-grip settle (engine.py:458-482)
+            # in-grip settle (engine.py:458-482); upward settle gated on
+            # the object being OFF its support (engine.py settle_up)
             settle_dn = _SETTLE_DN * sc.sphere_dn[i]
             tx = -sc.o_grasp_off[i][0]
             ty = -sc.o_grasp_off[i][1]
             off_x = tx + (ao[0] - tx) * (1.0 - _SETTLE)
             off_y = ty + (ao[1] - ty) * (1.0 - _SETTLE)
             canon_z = 0.006 - sc.o_grasp_off[i][2]
+            sup_settle = _support_z(sc, st["obj_pos"][i][0],
+                                    st["obj_pos"][i][1])
+            resting_now = (st["obj_pos"][i][2]
+                           <= sup_settle + sc.o_half_h[i] + 1e-4)
+            settle_up = _SETTLE * (1.0 - resting_now)
             off_z = jnp.where(
                 ao[2] < canon_z,
-                ao[2] + (canon_z - ao[2]) * _SETTLE,
+                ao[2] + (canon_z - ao[2]) * settle_up,
                 ao[2] + (canon_z - ao[2]) * settle_dn,
             )
             ao = _where3(att > 0, (off_x, off_y, off_z), ao)
