@@ -26,21 +26,27 @@ def _reset(spec: TaskSpec, rand, rng):
         return jnp.linalg.norm(v[:2] - v[3:5]) >= 0.25
 
     rand = common.sample_until(good, rand, rng, spec.rand_low, spec.rand_high)
-    lid = jnp.array([rand[0], rand[1], 0.02])
+    # the reference SPAWNS the lid in mid-air at COM 0.095 and lets it
+    # free-fall to its 0.015 rest in the first ~11 steps (golden obs z:
+    # 0.095 -> 0.0097 over t=0..11) — the reset obs reads the pre-fall
+    # height
+    lid = jnp.array([rand[0], rand[1], 0.095])
     target = rand[3:6]
     box = jnp.array([target[0], target[1], 0.0])
     return dict(
         obj_pos=common.pad_obj_pos(lid),
-        obj_init_pos=common.pad_obj_pos(lid),
+        obj_init_pos=common.pad_obj_pos(
+            jnp.array([rand[0], rand[1], 0.02])),
         target=target,
         fixture_pos=box,
     )
 
 
 def _obs(spec: TaskSpec, state):
-    off = maths.quat_rotate(state.sim.obj_quat[0], jnp.asarray(_HANDLE_OFF))
-    pos = state.sim.obj_pos + jnp.array([[1.0], [0.0]]) * off[None, :]
-    return pos, common.live_quat(spec, state)
+    # ref obs = get_body_com("top_link") — the lid PLATE's COM directly
+    # (sawyer_box_close_v3.py:101-102); the handle knob is grasp geometry,
+    # not the observation point
+    return state.sim.obj_pos, common.live_quat(spec, state)
 
 
 def _reward(spec: TaskSpec, state, obs, action):
@@ -95,7 +101,7 @@ def _reward(spec: TaskSpec, state, obs, action):
 @registry.register("box-close-v3")
 def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
-        objs=[FreeObj(radius=0.04, half_h=0.02, graspable=True,
+        objs=[FreeObj(radius=0.04, half_h=0.015, graspable=True,
                       grasp_halfwidth=0.018, grasp_off=(0.0, 0.0, 0.075),
                       droop=0.10)],
         # the open box the lid gets placed on
