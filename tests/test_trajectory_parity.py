@@ -28,33 +28,33 @@ from metaworld_tpu.envs import registry  # noqa: E402
 # (hand_p95_m, obj_p95_m, rew_mae_rel, open_loop_success_agrees)
 CEILINGS = {
     "assembly-v3": (0.035, 0.030, 0.083, 1),
-    "basketball-v3": (0.233, 0.251, 0.506, 1),
+    "basketball-v3": (0.229, 0.248, 0.184, 1),
     "bin-picking-v3": (0.030, 0.030, 0.083, 1),
-    "box-close-v3": (0.080, 0.199, 0.197, 1),
-    "button-press-topdown-v3": (0.068, 0.030, 0.853, 1),
+    "box-close-v3": (0.080, 0.071, 0.093, 1),
+    "button-press-topdown-v3": (0.065, 0.030, 0.848, 1),
     "button-press-topdown-wall-v3": (0.030, 0.030, 0.083, 1),
     "button-press-v3": (0.070, 0.030, 0.368, 1),
     "button-press-wall-v3": (0.030, 0.030, 0.331, 1),
     "coffee-button-v3": (0.086, 0.030, 0.083, 1),
-    "coffee-pull-v3": (0.045, 0.043, 0.083, 1),
-    "coffee-push-v3": (0.030, 0.105, 1.090, 1),
+    "coffee-pull-v3": (0.045, 0.042, 0.083, 1),
+    "coffee-push-v3": (0.030, 0.050, 0.083, 1),
     "dial-turn-v3": (0.106, 0.033, 0.592, 1),
     "disassemble-v3": (0.030, 0.055, 0.083, 1),
-    "door-close-v3": (0.349, 0.203, 0.083, 1),
-    "door-lock-v3": (0.508, 0.047, 0.109, 1),
-    "door-open-v3": (0.209, 0.161, 0.083, 1),
-    "door-unlock-v3": (0.275, 0.301, 0.362, 1),
+    "door-close-v3": (0.032, 0.161, 0.083, 1),
+    "door-lock-v3": (0.488, 0.047, 0.109, 1),
+    "door-open-v3": (0.146, 0.044, 0.083, 1),
+    "door-unlock-v3": (0.276, 0.301, 0.362, 1),
     "drawer-close-v3": (0.049, 0.030, 0.083, 1),
     "drawer-open-v3": (0.073, 0.068, 0.083, 1),
-    "faucet-close-v3": (0.425, 0.529, 0.176, 1),
-    "faucet-open-v3": (0.346, 0.476, 0.243, 1),
-    "hammer-v3": (0.091, 0.111, 0.586, 1),
-    "hand-insert-v3": (0.112, 0.115, 0.083, 1),
+    "faucet-close-v3": (0.242, 0.529, 0.176, 1),
+    "faucet-open-v3": (0.236, 0.290, 0.206, 1),
+    "hammer-v3": (0.091, 0.113, 0.587, 1),
+    "hand-insert-v3": (0.093, 0.083, 0.083, 1),
     "handle-press-side-v3": (0.032, 0.030, 0.083, 1),
     "handle-press-v3": (0.030, 0.044, 0.155, 1),
     "handle-pull-side-v3": (0.030, 0.037, 0.158, 1),
     "handle-pull-v3": (0.042, 0.033, 0.083, 1),
-    "lever-pull-v3": (0.677, 0.152, 0.093, 1),
+    "lever-pull-v3": (0.218, 0.199, 0.083, 1),
     "peg-insert-side-v3": (0.032, 0.051, 0.083, 1),
     "peg-unplug-side-v3": (0.034, 0.030, 0.083, 1),
     "pick-out-of-hole-v3": (0.030, 0.030, 0.083, 1),
@@ -69,11 +69,11 @@ CEILINGS = {
     "push-wall-v3": (0.040, 0.036, 0.083, 1),
     "reach-v3": (0.036, 0.030, 0.083, 1),
     "reach-wall-v3": (0.033, 0.030, 0.083, 1),
-    "shelf-place-v3": (0.252, 0.216, 0.539, 1),
-    "soccer-v3": (0.195, 0.030, 0.083, 1),
+    "shelf-place-v3": (0.084, 0.074, 0.083, 1),
+    "soccer-v3": (0.042, 0.037, 0.083, 1),
     "stick-pull-v3": (0.104, 0.068, 0.083, 1),
-    "stick-push-v3": (0.276, 0.330, 1.165, 1),
-    "sweep-into-v3": (0.110, 0.159, 0.213, 1),
+    "stick-push-v3": (0.039, 0.047, 0.083, 1),
+    "sweep-into-v3": (0.039, 0.100, 0.138, 1),
     "sweep-v3": (0.030, 0.049, 0.083, 1),
     "window-close-v3": (0.347, 0.030, 0.099, 1),
     "window-open-v3": (0.058, 0.030, 0.139, 1),
