@@ -1547,7 +1547,33 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             (jnp.abs(residual) > 1e-12) & (scene.joint_hookable > 0)
         )
         scale_bt = jnp.where(pin_round, 1.0, scale_bt)
-        new_hand = sim.hand + dv_bn + dv_bt * scale_bt
+        # DOME SLIP on VERTICALLY-pressed disc faces (topdown button
+        # caps): the fingertip pressing straight down on a round cap
+        # slides toward the apex (downhill, free) but cannot be dragged
+        # off it (uphill, pinned) — golden button-press-topdown's hand
+        # slides from first touch at y 0.854 to the button axis 0.816
+        # and parks (a flat-face pin froze it 38 mm off-axis).
+        # HORIZONTAL cap presses keep the full Coulomb pin: the weld
+        # drives a large normal force into the face and friction clamps
+        # every tangential direction (golden button-press: the hand
+        # holds both x and z while the mocap drifts 5 cm off).
+        disc_live = (
+            (jnp.abs(residual) > 1e-12) & ~has_bar
+            & (scene.joint_hookable == 0) & (scene.joint_panel == 0)
+            & (jnp.abs(motion[:, 2]) > 0.7)
+        )
+        any_disc = jnp.any(disc_live)
+        press_pt_w = handle + press_pt_off
+        lat_vec = press_pt_w - new_hand[None, :]
+        lat_vec = lat_vec - motion * jnp.sum(
+            lat_vec * motion, axis=1, keepdims=True)
+        lat_sum = jnp.sum(lat_vec * disc_live[:, None], axis=0)
+        lat_n = _norm(lat_sum)
+        lat_dir = lat_sum / jnp.maximum(lat_n, 1e-9)
+        toward = jnp.dot(dv_bt, lat_dir)
+        dv_bt_disc = lat_dir * jnp.clip(toward, 0.0, lat_n)
+        dv_bt_eff = jnp.where(any_disc, dv_bt_disc, dv_bt * scale_bt)
+        new_hand = sim.hand + dv_bn + dv_bt_eff
         # rigid handle bars: a capsule-bar handle (faucet/window/handle
         # levers) is SOLID perpendicular to its joint's motion axis — the
         # fixture cannot yield there, so the claw must. Push the fingertip

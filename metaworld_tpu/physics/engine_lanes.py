@@ -1398,7 +1398,25 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             pin_round = pin_round | (
                 (jnp.abs(residual_j[j]) > 1e-12) & (sc.j_hookable[j] > 0))
         scale_bt = jnp.where(pin_round, 1.0, scale_bt)
-        new_hand = tuple(hand0[k] + dv_bn[k] + dv_bt[k] * scale_bt for k in range(3))
+        # dome slip on vertically-pressed disc faces (engine.py disc_live)
+        any_disc = False
+        lat_sum = (0.0, 0.0, 0.0)
+        for j in range(MAX_JOINT):
+            dl = ((jnp.abs(residual_j[j]) > 1e-12) & ~sc.has_bar[j]
+                  & (sc.j_hookable[j] == 0) & (sc.j_panel[j] == 0)
+                  & (jnp.abs(motion[j][2]) > 0.7))
+            any_disc = any_disc | dl if not isinstance(any_disc, bool) else dl
+            pt_w = _add3(handle[j], press_pt_off[j])
+            lv = _sub3(pt_w, new_hand)
+            lv = _sub3(lv, _scale3(motion[j], _dot3(lv, motion[j])))
+            lat_sum = _add3(lat_sum, _scale3(lv, dl))
+        lat_n = _norm3(lat_sum)
+        lat_dir = _scale3(lat_sum, 1.0 / jnp.maximum(lat_n, 1e-9))
+        toward = _dot3(dv_bt, lat_dir)
+        dv_bt_disc = _scale3(lat_dir, jnp.clip(toward, 0.0, lat_n))
+        dv_bt_eff = _where3(any_disc, dv_bt_disc,
+                            _scale3(dv_bt, scale_bt))
+        new_hand = tuple(hand0[k] + dv_bn[k] + dv_bt_eff[k] for k in range(3))
 
         # --- rigid handle bars push the claw out (engine.py:1359-1388) ---
         bar_corr = (0.0, 0.0, 0.0)
