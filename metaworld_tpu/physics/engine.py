@@ -1560,7 +1560,7 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         disc_live = (
             (jnp.abs(residual) > 1e-12) & ~has_bar
             & (scene.joint_hookable == 0) & (scene.joint_panel == 0)
-            & (jnp.abs(motion[:, 2]) > 0.7)
+            & (jnp.abs(motion[:, 2]) > 0.95)
         )
         any_disc = jnp.any(disc_live)
         press_pt_w = handle + press_pt_off

@@ -1404,7 +1404,7 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
         for j in range(MAX_JOINT):
             dl = ((jnp.abs(residual_j[j]) > 1e-12) & ~sc.has_bar[j]
                   & (sc.j_hookable[j] == 0) & (sc.j_panel[j] == 0)
-                  & (jnp.abs(motion[j][2]) > 0.7))
+                  & (jnp.abs(motion[j][2]) > 0.95))
             any_disc = any_disc | dl if not isinstance(any_disc, bool) else dl
             pt_w = _add3(handle[j], press_pt_off[j])
             lv = _sub3(pt_w, new_hand)
