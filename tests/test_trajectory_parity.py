@@ -31,7 +31,7 @@ CEILINGS = {
     "basketball-v3": (0.229, 0.248, 0.184, 1),
     "bin-picking-v3": (0.030, 0.030, 0.083, 1),
     "box-close-v3": (0.080, 0.071, 0.093, 1),
-    "button-press-topdown-v3": (0.065, 0.030, 0.848, 1),
+    "button-press-topdown-v3": (0.034, 0.030, 0.083, 1),
     "button-press-topdown-wall-v3": (0.030, 0.030, 0.083, 1),
     "button-press-v3": (0.070, 0.030, 0.368, 1),
     "button-press-wall-v3": (0.030, 0.030, 0.331, 1),
