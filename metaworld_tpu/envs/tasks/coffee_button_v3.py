@@ -82,9 +82,28 @@ def make_spec(task_id: int) -> TaskSpec:
             inertia=0.101, mass=0.1, com=(0.0, -0.19, 0.3),
             handle_radius=0.029, face_radius=0.032,
         )],
-        # coffee machine body behind the button
-        boxes=[StaticBox(pos=(0.0, -0.1, 0.15), size=(0.08, 0.1, 0.15),
-                         rel_fixture=True)],
+        # coffee machine collision shell from the COMPILED reference model
+        # (sawyer_coffee.xml cm_link geoms, machine body at rand): base
+        # column y-front at machine-0.098, dispenser-head frame (top and
+        # bottom slabs + side blocks around the button bore) protruding to
+        # machine-0.183 — the golden press parks the leading claw 6.7 mm
+        # into the bottom slab's front face while the knuckle-height hand
+        # mesh presses the cap (obs-hand standoff 41.2 mm = our knuckle
+        # r_sum 0.029+0.012)
+        boxes=[
+            StaticBox(pos=(0.0, 0.0, 0.115), size=(0.1, 0.098, 0.115),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, 0.0, 0.3), size=(0.1, 0.098, 0.07),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, -0.133, 0.248), size=(0.1, 0.05, 0.018),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, -0.133, 0.352), size=(0.1, 0.05, 0.018),
+                      rel_fixture=True),
+            StaticBox(pos=(-0.069, -0.133, 0.3), size=(0.031, 0.05, 0.035),
+                      rel_fixture=True),
+            StaticBox(pos=(0.069, -0.133, 0.3), size=(0.031, 0.05, 0.035),
+                      rel_fixture=True),
+        ],
         mocap_low=(-0.5, 0.4, 0.05),
         mocap_high=(0.5, 1.0, 0.5),
     )

@@ -81,6 +81,12 @@ def make_spec(task_id: int) -> TaskSpec:
             kind=JointType.SLIDE, axis=_AXIS, anchor=_LOCK_OFF,
             range=(0.0, 0.125), damping=6.0, inertia=0.3, handle_radius=0.03,
         )],
+        # NB: the compiled door PANEL (g53, hanging 0.10 in front of the
+        # door body) is deliberately NOT modeled here — the scripted lock
+        # press descends just in front of it, and a rigid panel proxy
+        # cost 2/10 closed-loop goals when tried (the reference's soft
+        # mesh contact lets the claw brush it). door_unlock_v3.py keeps
+        # the panel: its press approaches from below and leans on it.
         boxes=[StaticBox(pos=(0.0, 0.0, 0.0), size=(0.2, 0.02, 0.22),
                          rel_fixture=True)],
         mocap_low=(-0.5, 0.40, -0.15),

@@ -22,7 +22,12 @@ from metaworld_tpu.types import JointType
 
 _LOCK_OFF = (-0.01, -0.158, -0.029)
 _LOCK_LEN = 0.1
-_AXIS = (0.707, 0.0, 0.707)  # chord toward the unlocked lever position
+# chord toward the unlocked lever position: the reference lockhinge (range
+# [0, 1.57] about +y, lever radius ~0.1) moves the lever site by
+# (+0.100, 0, +0.080) over the full unlock arc (golden obs: (0.010, 0.121)
+# -> (0.110, 0.201)); the old 45-degree chord with range 0.16 overshot the
+# top of travel by 33 mm in z
+_AXIS = (0.781, 0.0, 0.625)
 
 
 def _reset(spec: TaskSpec, rand, rng):
@@ -81,10 +86,15 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         joints=[FixtureJoint(
             kind=JointType.SLIDE, axis=_AXIS, anchor=_LOCK_OFF,
-            range=(0.0, 0.16), damping=6.0, inertia=0.3, handle_radius=0.03,
+            range=(0.0, 0.128), damping=6.0, inertia=0.3, handle_radius=0.03,
         )],
-        boxes=[StaticBox(pos=(0.0, 0.0, 0.0), size=(0.2, 0.02, 0.22),
-                         rel_fixture=True)],
+        # compiled doorlockA/door_link shells (see door_lock_v3.py)
+        boxes=[
+            StaticBox(pos=(0.0, -0.1, 0.0), size=(0.184, 0.011, 0.124),
+                      rel_fixture=True),
+            StaticBox(pos=(0.0, -0.109, 0.061), size=(0.047, 0.013, 0.047),
+                      rel_fixture=True),
+        ],
         mocap_low=(-0.5, 0.40, -0.15),
         mocap_high=(0.5, 1.0, 0.5),
     )

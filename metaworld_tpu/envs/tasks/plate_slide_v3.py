@@ -24,18 +24,33 @@ def _cabinet_boxes(sideways: bool):
     and the thin front top lip bar (local (0, -0.0685, 0.174), r 0.008) —
     the top is otherwise open netting. `sideways` bakes the scene euler
     z=1.57 (local (x, y) -> world (-y, x)); centers are rel_fixture."""
+    # compiled puck_goal collision (live plate-slide model): full-height
+    # wall meshes (g40 back z to 0.20, g41/g43 sides z to 0.195) and the
+    # thin top sheet g42 at z 0.177 — the round-1 half-height walls let
+    # the open-loop hand CLIMB OVER the back of the cabinet once the
+    # mocap marched on
     local = [
-        ((0.0, 0.082, 0.06), (0.11, 0.006, 0.06)),     # back wall
-        ((0.105, 0.0, 0.06), (0.006, 0.082, 0.06)),    # side
-        ((-0.105, 0.0, 0.06), (0.006, 0.082, 0.06)),   # side
-        ((0.0, -0.0685, 0.174), (0.105, 0.01, 0.012)),  # front top lip
+        # wall faces calibrated on the golden puck stops (side variant:
+        # center -0.329 on a face at local +0.076; the mesh frame origins
+        # understate the curved shells' surfaces)
+        ((0.0, 0.082, 0.0964), (0.11, 0.006, 0.1035)),     # back wall
+        ((0.105, 0.0, 0.0882), (0.006, 0.091, 0.1068)),    # side
+        ((-0.105, 0.0, 0.0882), (0.006, 0.091, 0.1068)),   # side
+        ((0.0, -0.014, 0.177), (0.105, 0.057, 0.004)),     # top sheet
+        # front top lip: a r=0.008 capsule in the reference (puck_goal
+        # g48) that the hand mesh SQUEEZES PAST — golden plate-slide
+        # parks the tcp at y 0.844, 60 mm INSIDE the lip plane, so it
+        # must not block the hand (our fat knuckle-sphere proxy walled
+        # the hand 85 mm out); it still fences the puck
+        ((0.0, -0.0685, 0.174), (0.105, 0.01, 0.012), False),
     ]
     out = []
-    for (cx, cy, cz), (hx, hy, hz) in local:
+    for (cx, cy, cz), (hx, hy, hz), *bh in local:
         if sideways:
             cx, cy, hx, hy = -cy, cx, hy, hx
         out.append(StaticBox(pos=(cx, cy, cz), size=(hx, hy, hz),
-                             rel_fixture=True, blocks_hand=True))
+                             rel_fixture=True,
+                             blocks_hand=(bh[0] if bh else True)))
     return out
 
 

@@ -1273,7 +1273,8 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # handles), where the sphere model misses the lateral overlap.
         _KNUCKLE_HALF = jnp.array([0.022, 0.040, 0.053])
 
-        def box_part(center, center_prev, half, bar_only=False, weight=1.0):
+        def box_part(center, center_prev, half, bar_only=False, weight=1.0,
+                     disc_yield=False):
             """Press contact of a world-axis-aligned BOX claw part (the hand
             never rotates — fixed mocap quat) against the handle's press
             geometry: the capsule bar when `joint_face_dir` is set, else the
@@ -1323,7 +1324,82 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
             du = jnp.sum((center - center_prev)[None, :] * motion, axis=1)
             pen = jnp.minimum(pen, jnp.maximum(-side * du, 0.0) + 0.0005)
             dq_p = weight * jnp.where(live, -side * pen, 0.0) / lever
-            return dq_p, *_vel_bounds(live, side, center, center_prev, lever, weight)
+            hi, lo = _vel_bounds(live, side, center, center_prev, lever, weight)
+            if disc_yield:
+                # a thin plate pressing a horizontally-pressed disc cap is
+                # SOFT: replaying the golden actions through the live
+                # reference model shows the claw plates 9-30 mm INSIDE the
+                # cap at equilibrium (solimp .8/.9, button-press leftclaw
+                # -9 mm + right_hand mesh -34 mm; button-press-wall claw
+                # -30 mm past the cap face) — the plate never rigidly
+                # stops the hand there, and the cap moves SUB-1:1 with the
+                # penetrating plate (face travel / claw travel: 0.77
+                # button-press, 0.61 wall — the bore friction and cap
+                # compliance eat the rest). Model: press ratio 0.65, no
+                # settle slack (a parked hand must not creep the cap to
+                # its stop: the wall trace holds the button mid-travel,
+                # bore friction), demand clamped to the remaining travel
+                # so a bottomed cap truncates nothing -> no hand backoff.
+                # Vertical presses, hinges and capsule bars stay rigid.
+                rigid = (
+                    has_bar
+                    | (jnp.abs(motion[:, 2]) >= 0.5)
+                    | (scene.joint_type == JointType.HINGE)
+                )
+                pen_ns = jnp.minimum(
+                    0.65 * (depth - side * u),
+                    jnp.maximum(-side * du, 0.0),
+                )
+                dq_soft = weight * jnp.where(live, -side * pen_ns, 0.0) / lever
+                room_lo = jnp.minimum(scene.joint_range[:, 0] - q_free, 0.0)
+                room_hi = jnp.maximum(scene.joint_range[:, 1] - q_free, 0.0)
+                dq_soft = jnp.clip(dq_soft, room_lo, room_hi)
+                # a soft plate RIDING INSIDE the cap keeps the finger
+                # joint loaded (gripper yield below, gated there on weld
+                # stretch) — side/approach gates don't apply: the plate
+                # presses or has tunnelled into the cap volume
+                soft_press.append(
+                    lat_ok & ~rigid
+                    & (jnp.abs(u) < depth + 0.045)
+                    & (scene.joint_exists > 0)
+                )
+                dq_p = jnp.where(rigid, dq_p, dq_soft)
+                hi = jnp.where(rigid, hi, _BIG_QV)
+                lo = jnp.where(rigid, lo, -_BIG_QV)
+                # FACE-ON jam: when the plate's footprint covers the cap
+                # axis, the wedged claw does bind — ~30 mm inside the face
+                # plane (golden button-press-wall: ref claw face parks
+                # 30 mm past the cap face, tcp +0.716 vs face 0.734, and
+                # the cap HOLDS there against its return spring — the rod
+                # jams in its bore). The jam contact both stops the hand
+                # (residual backoff) and, via its inelastic bound, keeps
+                # the sprung cap from popping back through the plate.
+                # the approach side is FIXED (-motion: the face is
+                # presented toward the hand and pressed along +q) — the
+                # per-substep side hysteresis flips once the plate crosses
+                # the face plane and would disarm the jam. The jam does
+                # NOT press the cap further (the ref cap parks at 0.734
+                # while the tcp still creeps +6 mm): it ejects the HAND
+                # via the backoff path and its inelastic bound keeps the
+                # sprung cap from popping back through the plate.
+                faceon = (~rigid) & (_norm(gap_lat, axis=1) < 0.005)
+                excess = u - (0.030 - depth)
+                live_j = faceon & lat_ok & (excess > 0.0) & (u < 0.105) \
+                    & (scene.joint_exists > 0)
+                jam_push.append(jnp.where(live_j, excess, 0.0))
+                # bore-friction ratchet: while the plate is wedged in the
+                # cap AND parked, the return spring cannot back the cap
+                # out (ref wall trace holds obj at 0.734 for 400 steps
+                # against the spring). During the active press (plate
+                # advancing) the spring still leaks — the press ratio was
+                # calibrated with that resistance in.
+                hold = faceon & lat_ok & (excess > -0.005) & (u < 0.105) \
+                    & (scene.joint_exists > 0)
+                jam_hold.append(hold)
+                jam_part = (jnp.zeros_like(dq_p), jnp.full_like(dq_p, _BIG_QV),
+                            jnp.full_like(dq_p, -_BIG_QV))
+                return dq_p, hi, lo, jam_part
+            return dq_p, hi, lo
 
         # press radii are the claw's FORWARD extents (thin finger plates,
         # ~0.012 m front face at both tip and knuckle heights — golden
@@ -1344,6 +1420,9 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # face). Fade over the same 2 cm band above the floor.
         pad_gap = gripper * GRIPPER_FULL_OPEN - PAD_GAP_INSET
         tip_active = jnp.clip((0.049 - pad_gap) / 0.02, 0.0, 1.0)
+        soft_press = []  # (MAX_JOINT,) flags from disc_yield plate parts
+        jam_push = []    # (MAX_JOINT,) hand-eject depths from face-on jams
+        jam_hold = []    # (MAX_JOINT,) bore-friction ratchet flags
         parts = [sphere_part(new_hand, sim.hand, 0.012, weight=tip_active)]
         # knuckle: box model against bars, sphere against disc faces (the
         # 0.012 sphere matches the golden button equilibria; the box's disc
@@ -1363,18 +1442,38 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         # settle slack.
         _PLATE_HALF = jnp.array([0.015, 0.0045, 0.045])
         left_press, right_press = pad_kinematics(new_hand, gripper)
-        parts.append(box_part(left_press, left_prev, _PLATE_HALF))
-        parts.append(box_part(right_press, right_prev, _PLATE_HALF))
+        for _pl in (box_part(left_press, left_prev, _PLATE_HALF,
+                             disc_yield=True),
+                    box_part(right_press, right_prev, _PLATE_HALF,
+                             disc_yield=True)):
+            parts.append(_pl[:3])
+            parts.append(_pl[3])  # face-on jam stop (see disc_yield)
         # the RAIL cross-bar above the hand body (ref xyz_base.xml:158:
         # box half (0.005, 0.055, 0.005) at hand+0.05 = tcp+0.095): wide
         # in y, it is what carries the lever ball through the late lift —
         # the golden lever traces move the handle while it sits ~77 mm in
         # +y of the hand body, beyond every finger part but inside the
         # rail's reach
+        # NB the rail geom does NOT collide in the reference (it inherits
+        # the xyz_base default contype=0 conaffinity=0, xyz_base_deps:24 —
+        # only the claw plates, pads and arm-link meshes collide), so this
+        # part is a calibrated proxy for the WRIST/hand MESH (right_hand
+        # collision hull, which reaches the same tcp+0.05..0.14 band).
+        # It must NOT press horizontally-pressed disc caps: its 0.055
+        # y-depth walls the hand 55 mm off every side button the real
+        # claw plates reach (golden button-press: ref tcp parks 12.5 mm
+        # from the bottomed face; the rail proxy froze it 55 mm out).
+        # Everywhere else it stays — the door-lock press (down-diagonal
+        # slide) and the lever carry ride on it.
         _RAIL_HALF = jnp.array([0.005, 0.055, 0.005])
         rail_off = jnp.array([0.0, 0.0, 0.095])
+        rail_w = 1.0 - (
+            (~has_bar)
+            & (scene.joint_type == JointType.SLIDE)
+            & (jnp.abs(motion[:, 2]) < 0.5)
+        ).astype(jnp.float32)
         parts.append(box_part(new_hand + rail_off, sim.hand + rail_off,
-                              _RAIL_HALF))
+                              _RAIL_HALF, weight=rail_w))
         # held tools strike fixture handles too (hammer head -> nail)
         for i in range(pos.shape[0]):
             tool_i = pos[i] + maths.quat_rotate(quat[i], scene.obj_tool_off[i])
@@ -1494,6 +1593,11 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         q_want = q_free + dq
         q_new = jnp.where(hooked > 0, q_hooked, q_want)
         q_new = jnp.clip(q_new, scene.joint_range[:, 0], scene.joint_range[:, 1])
+        # bore-friction ratchet (face-on plate wedged in a horizontal cap):
+        # the cap holds against its return spring while jammed
+        if jam_hold:
+            held = jnp.any(jnp.stack(jam_hold), axis=0) & (hooked == 0)
+            q_new = jnp.where(held, jnp.maximum(q_new, q), q_new)
         # a press truncated by a range stop stops the HAND instead: the
         # bottomed-out button/drawer resists with its stop force, and the
         # reference's weld yields (golden traces: the hand equilibrates a
@@ -1514,6 +1618,11 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         backoff = -jnp.sum(
             (residual * lever)[:, None] * motion, axis=0
         )
+        # face-on jam ejects the hand directly (mid-travel: no range-stop
+        # residual exists, the cap is bore-locked — see box_part disc_yield)
+        if jam_push:
+            jam_tot = jnp.max(jnp.stack(jam_push), axis=0)
+            backoff = backoff - jnp.sum(jam_tot[:, None] * motion, axis=0)
         # the eject may not exceed the hand's own displacement this
         # substep: the press demand carries a 0.5 mm settle slack, and an
         # eject inflated by that slack makes the Coulomb pin below read a
@@ -1618,6 +1727,44 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         new_hand = new_hand + jnp.sum(
             lock_corr * (hooked > 0)[:, None], axis=0
         )
+        # knob-bar support (dial): the claw PARKS resting on the rotating
+        # pointer bar's top face (golden dial-turn: post-crank tcp z
+        # 0.066 = the live model's knob box top — half (0.015, 0.046,
+        # 0.015) at dial+(0,0,0.051), rotating about z). Frictionless and
+        # catch-from-above only: the crank sweep (ref tcp dips 21 mm
+        # BELOW the bar top while pushing the pin's side, golden t~50)
+        # must stay untouched, which is why this is not a blocks_hand box
+        # (a kinematic pushout there broke the scripted crank).
+        knob_j = (
+            is_hinge_j & (jnp.abs(scene.joint_axis[:, 2]) > 0.9)
+            & (scene.joint_hookable == 0) & (scene.joint_panel == 0)
+            & (scene.joint_handle_radius > 1e-6) & (scene.joint_exists > 0)
+        )
+        knob_pivot = sim.fixture_pos[None, :] + scene.joint_anchor
+        knob_dir = handle_new[:, :2] - knob_pivot[:, :2]
+        knob_dir = knob_dir / jnp.maximum(
+            _norm(knob_dir, axis=1), 1e-9)[:, None]
+        knob_top = (knob_pivot[:, 2] + jnp.abs(scene.joint_arm[:, 2])
+                    - 0.004)
+        lpad_k, rpad_k = pad_kinematics(new_hand, gripper)
+        knob_catch = jnp.zeros((), dtype=bool)
+        knob_z = jnp.full((), -jnp.inf)
+        for pk in (lpad_k, rpad_k, new_hand):
+            rel_k = pk[None, :2] - knob_pivot[:, :2]
+            proj_k = jnp.sum(rel_k * knob_dir, axis=1)
+            perp_k = rel_k - proj_k[:, None] * knob_dir
+            over_k = (jnp.abs(proj_k) <= 0.061) & (_norm(perp_k, axis=1)
+                                                   <= 0.025)
+            c = knob_j & over_k & (sim.hand[2] >= knob_top - 0.005)
+            knob_catch = knob_catch | jnp.any(c)
+            knob_z = jnp.maximum(knob_z, jnp.max(jnp.where(c, knob_top,
+                                                           -jnp.inf)))
+        new_hand = jnp.where(
+            knob_catch,
+            jnp.concatenate([new_hand[:2],
+                             jnp.maximum(new_hand[2], knob_z)[None]]),
+            new_hand,
+        )
         # table support under the claw: the reference's fingertip geoms
         # bottom out on the table (or pit floor) at tcp ~ support - 0.01
         # (golden-trace tcp minima: -0.009..+0.002 across the solid-table
@@ -1658,6 +1805,34 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         qv = jnp.where(hooked > 0, qv, qv_press)
         q_new = q_new * scene.joint_exists
         qv = qv * scene.joint_exists
+
+        # finger yield under a soft plate press: the reference's finger
+        # joints (armature 100, damping 1000, position servo toward ctrl 0)
+        # COMPRESS while a plate is jammed against a bottomed cap — the
+        # pressed finger is shoved back and the aperture obs drops to a
+        # loaded plateau ~0.70 (golden button-press 0.998->0.70 over ~25
+        # steps then holds; coffee-button parks at 0.696 for the rest of
+        # the episode; button-press-wall dips then RECOVERS to ~0.93 once
+        # the press releases — the finger ODE's own servo reopening).
+        # Model: while any disc_yield plate is blocked at the stop, the
+        # aperture tracks the loaded plateau; on release the unmodified
+        # finger ODE springs back (tau = damp/kp ~ 40 steps, as the wall
+        # trace shows).
+        # ... gated on the weld stretch along the press axis: a HARD press
+        # (mocap marching past the jammed hand) compresses the finger to
+        # the ~0.70 plateau (button-press stretch 0.26, coffee-button);
+        # a light hold (wall trace: mocap parks, aperture rides at 0.93)
+        # leaves the servo in charge.
+        soft_any_j = (jnp.any(jnp.stack(soft_press), axis=0)
+                      if soft_press else jnp.zeros_like(gap_n, dtype=bool))
+        soft_any = jnp.any(soft_any_j & (gap_n > 0.06))
+        _APERTURE_LOADED = 0.696
+        # while loaded the cap is authoritative (the servo cannot reopen
+        # against the jam): ratchet down from the SUBSTEP-START aperture
+        loaded_cap = jnp.maximum(sim.gripper - 0.0025, _APERTURE_LOADED)
+        gripper = jnp.where(
+            soft_any, jnp.minimum(gripper, loaded_cap), gripper,
+        )
 
         # pad forces for touching_object (ref sawyer_xyz_env.py:401-440:
         # per-pad sums of efc_force on pad-object contacts). Two sources,

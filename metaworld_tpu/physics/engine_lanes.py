@@ -1237,7 +1237,8 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             dq_p = weight * jnp.where(live, -side * pen, 0.0) / lv
             return (dq_p, *_vel_bounds(j, live, side, center, center_prev, lv, weight))
 
-        def box_part(j, center, center_prev, half, bar_only=False, weight=1.0):
+        def box_part(j, center, center_prev, half, bar_only=False, weight=1.0,
+                     disc_yield=False):
             pt0 = _add3(handle[j], press_pt_off[j])
             s_near = jnp.clip(_dot3(_sub3(center, pt0), press_fd[j]),
                               -sc.j_face_radius[j], sc.j_face_radius[j])
@@ -1265,10 +1266,50 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             du = _dot3(_sub3(center, center_prev), motion[j])
             pen = jnp.minimum(pen, jnp.maximum(-side * du, 0.0) + 0.0005)
             dq_p = weight * jnp.where(live, -side * pen, 0.0) / sc.lever[j]
-            return (dq_p,
-                    *_vel_bounds(j, live, side, center, center_prev, sc.lever[j],
-                                 weight))
+            hi, lo = _vel_bounds(j, live, side, center, center_prev,
+                                 sc.lever[j], weight)
+            if disc_yield:
+                # plate on a horizontal disc cap yields softly: press
+                # ratio 0.65, no settle slack, travel-clamped (see
+                # engine.py box_part disc_yield)
+                rigid = (sc.has_bar[j]
+                         | (jnp.abs(motion[j][2]) >= 0.5) | sc.is_hinge[j])
+                pen_ns = jnp.minimum(
+                    0.65 * (depth - side * u),
+                    jnp.maximum(-side * du, 0.0),
+                )
+                dq_soft = weight * jnp.where(live, -side * pen_ns, 0.0) \
+                    / sc.lever[j]
+                room_lo = jnp.minimum(sc.j_range[j][0] - q_free[j], 0.0)
+                room_hi = jnp.maximum(sc.j_range[j][1] - q_free[j], 0.0)
+                dq_soft = jnp.clip(dq_soft, room_lo, room_hi)
+                soft_press.append(
+                    (j, lat_ok & ~rigid
+                     & (jnp.abs(u) < depth + 0.045)
+                     & (sc.j_exists[j] > 0)))
+                dq_p = jnp.where(rigid, dq_p, dq_soft)
+                hi = jnp.where(rigid, hi, _BIG_QV)
+                lo = jnp.where(rigid, lo, -_BIG_QV)
+                # face-on jam: hand eject + cap hold, fixed approach side
+                # (see engine.py disc_yield)
+                faceon = (~rigid) & (_norm3(gap_lat) < 0.005)
+                excess = u - (0.030 - depth)
+                live_j = (faceon & lat_ok & (excess > 0.0) & (u < 0.105)
+                          & (sc.j_exists[j] > 0))
+                jam_push.append((j, jnp.where(live_j, excess, 0.0)))
+                # bore-friction ratchet flag, parked plates only
+                # (engine.py jam_hold)
+                hold = (faceon & lat_ok & (excess > -0.005) & (u < 0.105)
+                        & (sc.j_exists[j] > 0))
+                jam_hold.setdefault(j, []).append(hold)
+                return (dq_p, hi, lo), (jnp.zeros_like(dq_p),
+                                        jnp.full_like(dq_p, _BIG_QV),
+                                        jnp.full_like(dq_p, -_BIG_QV))
+            return (dq_p, hi, lo)
 
+        soft_press = []  # per-lane flags from disc_yield plate parts
+        jam_push = []    # (j, per-lane eject depth) from face-on jams
+        jam_hold = {}    # j -> per-lane bore-friction ratchet flags
         parts_j = [[] for _ in range(MAX_JOINT)]
         for j in range(MAX_JOINT):
             parts = parts_j[j]
@@ -1278,11 +1319,22 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             parts.append(tuple(jnp.where(sc.has_bar[j], b, s)
                                for s, b in zip(ks, kb)))
             left_press, right_press = _pad_centers(new_hand, gripper)
-            parts.append(box_part(j, left_press, left_prev, _PLATE_HALF))
-            parts.append(box_part(j, right_press, right_prev, _PLATE_HALF))
+            for _pl in (box_part(j, left_press, left_prev, _PLATE_HALF,
+                                 disc_yield=True),
+                        box_part(j, right_press, right_prev, _PLATE_HALF,
+                                 disc_yield=True)):
+                parts.append(_pl[0])
+                parts.append(_pl[1])  # face-on jam stop
             rail = (new_hand[0], new_hand[1], new_hand[2] + 0.095)
             rail_prev = (hand0[0], hand0[1], hand0[2] + 0.095)
-            parts.append(box_part(j, rail, rail_prev, _RAIL_HALF))
+            # wrist-mesh proxy; off only on horizontal slide disc caps
+            # (see engine.py rail_w)
+            rail_w = 1.0 - (
+                (~sc.has_bar[j]) & (~sc.is_hinge[j])
+                & (jnp.abs(motion[j][2]) < 0.5)
+            ).astype(jnp.float32)
+            parts.append(box_part(j, rail, rail_prev, _RAIL_HALF,
+                                  weight=rail_w))
             if with_objects:
                 for i in range(MAX_OBJ):
                     tool_i = _add3(pos[i], _qrot(quat[i], sc.o_tool_off[i]))
@@ -1360,6 +1412,14 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             q_want = q_free[j] + dq
             q_new = jnp.where(hooked[j] > 0, q_hooked, q_want)
             q_new = jnp.clip(q_new, sc.j_range[j][0], sc.j_range[j][1])
+            # bore-friction ratchet (engine.py jam_hold)
+            if j in jam_hold:
+                held = jam_hold[j][0]
+                for f in jam_hold[j][1:]:
+                    held = held | f
+                held = held & (hooked[j] == 0)
+                q_new = jnp.where(held, jnp.maximum(q_new, st["joint_q"][j]),
+                                  q_new)
             parts_j[j] = (dq, q_new, dq_hook)  # downstream backoff inputs
 
         # --- stop residual -> hand backoff (engine.py:1305-1334) ---
@@ -1378,6 +1438,12 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             residual_j.append(residual)
             q_new_j.append(q_new)
             backoff = _sub3(backoff, _scale3(motion[j], residual * sc.lever[j]))
+        # face-on jam ejects the hand directly (engine.py jam_push)
+        jam_by_j = {}
+        for j, ex in jam_push:
+            jam_by_j[j] = jnp.maximum(jam_by_j[j], ex) if j in jam_by_j else ex
+        for j, ex in jam_by_j.items():
+            backoff = _sub3(backoff, _scale3(motion[j], ex))
         bo_raw = _norm3(backoff)
         move_pre = _norm3(_sub3(new_hand, hand0))
         backoff = _scale3(backoff,
@@ -1448,6 +1514,39 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             lc = _sub3(lc, _scale3(motion[j], _dot3(lc, motion[j])))
             lock = _add3(lock, _scale3(lc, (hooked[j] > 0)))
         new_hand = _add3(new_hand, lock)
+        # knob-bar support: the claw parks resting on the rotating
+        # pointer bar's top (engine.py knob_catch; frictionless,
+        # catch-from-above only)
+        knob_catch = None
+        knob_z = None
+        for j in range(MAX_JOINT):
+            knob_ok = (sc.is_hinge[j] & (jnp.abs(sc.j_axis[j][2]) > 0.9)
+                       & (sc.j_hookable[j] == 0) & (sc.j_panel[j] == 0)
+                       & (sc.j_handle_radius[j] > 1e-6)
+                       & (sc.j_exists[j] > 0))
+            piv = _add3(fixture, sc.j_anchor[j])
+            hnew = _handle_pos(sc, j, fixture, q_new_j[j])
+            dx, dy = hnew[0] - piv[0], hnew[1] - piv[1]
+            dn = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 1e-18))
+            dx, dy = dx / dn, dy / dn
+            top = piv[2] + jnp.abs(sc.j_arm[j][2]) - 0.004
+            lpad_k, rpad_k = _pad_centers(new_hand, gripper)
+            for pk in (lpad_k, rpad_k, new_hand):
+                rx, ry = pk[0] - piv[0], pk[1] - piv[1]
+                proj = rx * dx + ry * dy
+                px, py = rx - proj * dx, ry - proj * dy
+                over = ((jnp.abs(proj) <= 0.061)
+                        & (jnp.sqrt(jnp.maximum(px * px + py * py, 1e-18))
+                           <= 0.025))
+                c = knob_ok & over & (hand0[2] >= top - 0.005)
+                knob_catch = c if knob_catch is None else (knob_catch | c)
+                zc = jnp.where(c, top, -jnp.inf)
+                knob_z = zc if knob_z is None else jnp.maximum(knob_z, zc)
+        if knob_catch is not None:
+            new_hand = (new_hand[0], new_hand[1],
+                        jnp.where(knob_catch,
+                                  jnp.maximum(new_hand[2], knob_z),
+                                  new_hand[2]))
 
         # --- joint velocities with inelastic press bounds (engine.py:1413-1426) ---
         joint_q_out, joint_v_out = [], []
@@ -1459,6 +1558,20 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             qv = jnp.where(hooked[j] > 0, qv, qv_press)
             joint_q_out.append(q_new * sc.j_exists[j])
             joint_v_out.append(qv * sc.j_exists[j])
+
+        # finger yield under a soft plate press, gated on the weld stretch
+        # along the press axis (engine.py: aperture tracks the loaded
+        # plateau under a HARD press; the finger ODE reopens on release)
+        if soft_press:
+            soft_any = None
+            for j, f in soft_press:
+                gap_n_j = jnp.abs(_dot3(_sub3(target, new_hand), motion[j]))
+                fj = f & (gap_n_j > 0.06)
+                soft_any = fj if soft_any is None else (soft_any | fj)
+            loaded_cap = jnp.maximum(st["gripper"] - 0.0025, 0.696)
+            gripper = jnp.where(
+                soft_any, jnp.minimum(gripper, loaded_cap), gripper,
+            )
 
     else:
         joint_q_out = [st["joint_q"][j] for j in range(MAX_JOINT)]

@@ -32,18 +32,18 @@ CEILINGS = {
     "bin-picking-v3": (0.030, 0.030, 0.083, 1),
     "box-close-v3": (0.080, 0.071, 0.093, 1),
     "button-press-topdown-v3": (0.034, 0.030, 0.083, 1),
-    "button-press-topdown-wall-v3": (0.030, 0.030, 0.083, 1),
-    "button-press-v3": (0.070, 0.030, 0.368, 1),
-    "button-press-wall-v3": (0.030, 0.030, 0.331, 1),
-    "coffee-button-v3": (0.086, 0.030, 0.083, 1),
+    "button-press-topdown-wall-v3": (0.031, 0.030, 0.083, 1),
+    "button-press-v3": (0.030, 0.030, 0.141, 1),
+    "button-press-wall-v3": (0.030, 0.030, 0.226, 1),
+    "coffee-button-v3": (0.037, 0.030, 0.083, 1),
     "coffee-pull-v3": (0.045, 0.042, 0.083, 1),
     "coffee-push-v3": (0.030, 0.050, 0.083, 1),
-    "dial-turn-v3": (0.106, 0.033, 0.592, 1),
+    "dial-turn-v3": (0.062, 0.036, 0.274, 1),
     "disassemble-v3": (0.030, 0.055, 0.083, 1),
     "door-close-v3": (0.032, 0.161, 0.083, 1),
     "door-lock-v3": (0.488, 0.047, 0.109, 1),
     "door-open-v3": (0.146, 0.044, 0.083, 1),
-    "door-unlock-v3": (0.276, 0.301, 0.362, 1),
+    "door-unlock-v3": (0.188, 0.262, 0.354, 1),
     "drawer-close-v3": (0.049, 0.030, 0.083, 1),
     "drawer-open-v3": (0.073, 0.068, 0.083, 1),
     "faucet-close-v3": (0.242, 0.529, 0.176, 1),
@@ -63,7 +63,7 @@ CEILINGS = {
     "plate-slide-back-side-v3": (0.034, 0.086, 0.182, 1),
     "plate-slide-back-v3": (0.030, 0.094, 0.099, 1),
     "plate-slide-side-v3": (0.042, 0.036, 0.083, 1),
-    "plate-slide-v3": (0.140, 0.099, 0.083, 1),
+    "plate-slide-v3": (0.056, 0.030, 0.083, 1),
     "push-back-v3": (0.044, 0.066, 0.178, 1),
     "push-v3": (0.042, 0.038, 0.083, 1),
     "push-wall-v3": (0.040, 0.036, 0.083, 1),
