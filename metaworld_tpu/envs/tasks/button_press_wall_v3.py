@@ -68,7 +68,12 @@ def make_spec(task_id: int) -> TaskSpec:
     scene = build_scene(
         joints=[FixtureJoint(
             kind=JointType.SLIDE, axis=(0.0, 1.0, 0.0), anchor=_BTN_OFF,
-            range=(0.0, 0.086), damping=1.0, stiffness=0.5, springref=-0.5,
+            # effective stop 0.0695, NOT the plain button's 0.086: the
+            # declared range is [-0.06, 0] with a SOFT limit (buttonbox.xml
+            # btnbox_joint) and the park depth scales with press force —
+            # the wall caps the claw's approach here, and the golden wall
+            # press bottoms at +0.0695 (vs 0.086 on the unwalled button)
+            range=(0.0, 0.0695), damping=1.0, stiffness=0.5, springref=-0.5,
             inertia=0.011, mass=0.01, com=(0.0, -0.1935, 0.0),
             handle_radius=0.0, face_radius=0.0425,
         )],

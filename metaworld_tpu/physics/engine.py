@@ -1159,6 +1159,19 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         slip = (gap_perp_n > _HOOK_SLIP) | (
             at_stop & (_norm(gap_w, axis=1) > 2.0 * _HOOK_SLIP)
         )
+        # a wrap on a long VERTICAL bar (the door's handle post) is a
+        # sliding COLLAR, not a rigid pinch: excess weld pull slides the
+        # fingers along the bar to the edge of the pad footprint and the
+        # pinch holds there — it never pops off (golden door-open: the
+        # mocap parks 0.22 m past the open door's handle and the claw
+        # stays wrapped, 25-35 mm up-pull of the bar, for 400 steps). The
+        # collar lock below clamps the lateral offset instead.
+        collar_j = (
+            (_norm(scene.joint_face_dir, axis=1) > 0.5)
+            & (jnp.abs(scene.joint_face_dir[:, 2]) > 0.9)
+            & (scene.joint_face_radius >= 0.06)
+        )
+        slip = slip & ~collar_j
         unhook = (
             (effort <= 0.0) | (d_xy > 0.12) | (d_z < -0.15) | (d_z > 0.2)
             | slip
@@ -1364,8 +1377,27 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                     & (scene.joint_exists > 0)
                 )
                 dq_p = jnp.where(rigid, dq_p, dq_soft)
-                hi = jnp.where(rigid, hi, _BIG_QV)
-                lo = jnp.where(rigid, lo, -_BIG_QV)
+                # spring-back guard: the cap cannot move TOWARD a live
+                # plate faster than the plate itself recedes (MuJoCo's
+                # contact is inelastic) — but unlike the rigid two-sided
+                # bound this never FORCES the cap forward, so the active
+                # press keeps the soft ratio while a PARKED plate rigidly
+                # blocks the spring return (golden wall closed loop: the
+                # cap peaked at 0.050 and sprang 22 mm back through the
+                # parked claw to the bore-hold depth, aborting the press
+                # short of its success threshold).
+                vn_q = jnp.sum(
+                    (center - center_prev)[None, :] * motion, axis=1
+                ) / dt / lever
+                live_soft = live & ~rigid
+                lo_soft = jnp.where(
+                    live_soft & (side < 0), jnp.minimum(vn_q, 0.0), -_BIG_QV
+                )
+                hi_soft = jnp.where(
+                    live_soft & (side > 0), jnp.maximum(vn_q, 0.0), _BIG_QV
+                )
+                hi = jnp.where(rigid, hi, hi_soft)
+                lo = jnp.where(rigid, lo, lo_soft)
                 # FACE-ON jam: when the plate's footprint covers the cap
                 # axis, the wedged claw does bind — ~30 mm inside the face
                 # plane (golden button-press-wall: ref claw face parks
@@ -1384,9 +1416,19 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
                 # sprung cap from popping back through the plate.
                 faceon = (~rigid) & (_norm(gap_lat, axis=1) < 0.005)
                 excess = u - (0.030 - depth)
-                live_j = faceon & lat_ok & (excess > 0.0) & (u < 0.105) \
+                # the EJECT binds deeper than the hold: the golden wall
+                # trace's plate parks ~31 mm inside the face (the hold
+                # must already ratchet there), but a live closed-loop
+                # press keeps advancing — the cap tracks the pad front at
+                # ~0.88 incl. the opening claw (golden t=47-62: cap +67 mm
+                # per +77 mm of pad front) and only wedges solid well past
+                # that park. An eject at the hold depth froze the cap at
+                # 44% travel and the scripted press never reached its
+                # success threshold.
+                excess_ej = u - (0.050 - depth)
+                live_j = faceon & lat_ok & (excess_ej > 0.0) & (u < 0.105) \
                     & (scene.joint_exists > 0)
-                jam_push.append(jnp.where(live_j, excess, 0.0))
+                jam_push.append(jnp.where(live_j, excess_ej, 0.0))
                 # bore-friction ratchet: while the plate is wedged in the
                 # cap AND parked, the return spring cannot back the cap
                 # out (ref wall trace holds obj at 0.734 for 400 steps
@@ -1723,6 +1765,47 @@ def control_step(scene: SceneParams, sim: SimState, action: jnp.ndarray) -> SimS
         lock_corr = (handle_new + off_w_new) - new_hand[None, :]
         lock_corr = lock_corr - motion * jnp.sum(
             lock_corr * motion, axis=1, keepdims=True
+        )
+        # vertical-bar COLLAR: a claw wrapped around a long VERTICAL bar
+        # (the door's handle post, ref sawyer_door_pull.xml g49/g50 —
+        # vertical cylinders the fingers straddle) is not a rigid pinch.
+        # Along the bar axis the fingers slide, with the squeeze carrying
+        # most of the weld's vertical sag (golden door-open: the tcp rides
+        # at mocap_z - ~12 mm through the pull vs the free-weld settle of
+        # -50 mm). Laterally the collar tracks the weld demand but the bar
+        # cannot leave the finger footprint: the offset from the bar is the
+        # CLAMPED weld demand (cap = the ~30 mm the golden trace holds at
+        # full stretch), so excess pull slides the fingers to the footprint
+        # edge and parks instead of popping off. Horizontal bars (faucet/
+        # handle levers) keep the rigid captured-offset lock — there the
+        # finger plates cage the bar top+bottom and carry the hand.
+        bar_w = jax.vmap(maths.quat_rotate)(q_rot_new, scene.joint_face_dir)
+        slide_bar = collar_j & has_bar
+        _COLLAR_CAP = 0.030
+        off_tgt = target[None, :] - handle_new
+        off_lat = (
+            off_tgt
+            - motion * jnp.sum(off_tgt * motion, axis=1, keepdims=True)
+            - bar_w * jnp.sum(off_tgt * bar_w, axis=1, keepdims=True)
+        )
+        lat_n = _norm(off_lat, axis=1)
+        off_lat = off_lat * jnp.minimum(
+            1.0, _COLLAR_CAP / jnp.maximum(lat_n, 1e-9)
+        )[:, None]
+        collar_corr = (handle_new + off_lat) - new_hand[None, :]
+        collar_corr = (
+            collar_corr
+            - motion * jnp.sum(collar_corr * motion, axis=1, keepdims=True)
+            - bar_w * jnp.sum(collar_corr * bar_w, axis=1, keepdims=True)
+        )
+        bar_des = target - TCP_OFFSET + jnp.array([0.0, 0.0, -0.012])
+        err_bar = jnp.sum((bar_des[None, :] - new_hand[None, :]) * bar_w,
+                          axis=1)
+        k_bar = 1.0 - jnp.exp(-dt / 0.05)
+        lock_corr = jnp.where(
+            slide_bar[:, None],
+            collar_corr + bar_w * (err_bar * k_bar)[:, None],
+            lock_corr,
         )
         new_hand = new_hand + jnp.sum(
             lock_corr * (hooked > 0)[:, None], axis=0

@@ -528,6 +528,7 @@ _OMEGA_DECAY = float(np.exp(-_DT / 0.04))
 _ALPHA_R = float(1.0 - np.exp(-_DT / 0.08))
 _ALPHA_D = float(1.0 - np.exp(-_DT / 0.35))
 _WEDGE_A = float(1.0 - np.exp(-_DT / 0.15))
+_TCP_OFFSET_F = tuple(float(x) for x in np.asarray(engine.TCP_OFFSET))
 _D_SLIDE_DECAY = float(1.0 - np.exp(-_D_SLIDE_LIM * _DT))
 _PAD_K = 4000.0
 
@@ -1175,6 +1176,11 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             slip = (gap_perp_n > _HOOK_SLIP) | (
                 at_stop & (_norm3(gap_w) > 2.0 * _HOOK_SLIP)
             )
+            # a vertical-bar COLLAR never pops off (engine.py collar_j)
+            collar = (sc.has_bar[j]
+                      & (jnp.abs(sc.j_face_dir[j][2]) > 0.9)
+                      & (sc.j_face_radius[j] >= 0.06))
+            slip = slip & ~collar
             unhook = ((effort <= 0.0) | (d_xy > 0.12) | (d_z < -0.15) | (d_z > 0.2)
                       | slip)
             hk = jnp.where(unhook, 0.0, hk) * sc.j_exists[j]
@@ -1288,15 +1294,28 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
                      & (jnp.abs(u) < depth + 0.045)
                      & (sc.j_exists[j] > 0)))
                 dq_p = jnp.where(rigid, dq_p, dq_soft)
-                hi = jnp.where(rigid, hi, _BIG_QV)
-                lo = jnp.where(rigid, lo, -_BIG_QV)
-                # face-on jam: hand eject + cap hold, fixed approach side
-                # (see engine.py disc_yield)
+                # spring-back guard: one-sided inelastic bound — the cap
+                # cannot move TOWARD a live plate faster than the plate
+                # recedes, but is never forced forward (engine.py
+                # disc_yield spring-back guard)
+                vn_q = _dot3(_sub3(center, center_prev), motion[j]) \
+                    / dt / sc.lever[j]
+                live_soft = live & ~rigid
+                lo_soft = jnp.where(live_soft & (side < 0),
+                                    jnp.minimum(vn_q, 0.0), -_BIG_QV)
+                hi_soft = jnp.where(live_soft & (side > 0),
+                                    jnp.maximum(vn_q, 0.0), _BIG_QV)
+                hi = jnp.where(rigid, hi, hi_soft)
+                lo = jnp.where(rigid, lo, lo_soft)
+                # face-on jam: hand eject + cap hold, fixed approach side;
+                # the eject binds DEEPER than the hold (engine.py
+                # disc_yield excess_ej)
                 faceon = (~rigid) & (_norm3(gap_lat) < 0.005)
                 excess = u - (0.030 - depth)
-                live_j = (faceon & lat_ok & (excess > 0.0) & (u < 0.105)
+                excess_ej = u - (0.050 - depth)
+                live_j = (faceon & lat_ok & (excess_ej > 0.0) & (u < 0.105)
                           & (sc.j_exists[j] > 0))
-                jam_push.append((j, jnp.where(live_j, excess, 0.0)))
+                jam_push.append((j, jnp.where(live_j, excess_ej, 0.0)))
                 # bore-friction ratchet flag, parked plates only
                 # (engine.py jam_hold)
                 hold = (faceon & lat_ok & (excess > -0.005) & (u < 0.105)
@@ -1503,8 +1522,15 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             act = sc.has_bar[j] & (sc.j_exists[j] > 0) & ~wrap
             bar_corr = _add3(bar_corr, _scale3(corr, act))
         new_hand = _add3(new_hand, bar_corr)
-        # rigid wrap lock (engine.py:1389-1402)
+        # rigid wrap lock (engine.py:1389-1402) + vertical-bar COLLAR
+        # (engine.py slide_bar: lateral offset = clamped weld demand, bar
+        # axis slides toward the carried equilibrium, cap 0.030)
         lock = (0.0, 0.0, 0.0)
+        _COLLAR_CAP = 0.030
+        # python floats, NOT the jnp TCP_OFFSET array — a traced-constant
+        # array would be captured by the Pallas kernel body
+        _TCPO = _TCP_OFFSET_F
+        k_bar = _SETTLE  # 1 - exp(-dt / 0.05), the grip time constant
         for j in range(MAX_JOINT):
             q_rot_new = _axquat(sc.j_axis[j], q_new_j[j])
             off_w_new = _qrot(q_rot_new, hook_hoff[j])
@@ -1512,6 +1538,25 @@ def _substep(sc, st, target, effort, *, with_objects=True, with_joints=True,
             handle_new = _handle_pos(sc, j, fixture, q_new_j[j])
             lc = _sub3(_add3(handle_new, off_w_new), new_hand)
             lc = _sub3(lc, _scale3(motion[j], _dot3(lc, motion[j])))
+            collar = (sc.has_bar[j]
+                      & (jnp.abs(sc.j_face_dir[j][2]) > 0.9)
+                      & (sc.j_face_radius[j] >= 0.06))
+            bar_w = _qrot(q_rot_new, sc.j_face_dir[j])
+            off_tgt = _sub3(target, handle_new)
+            off_lat = _sub3(off_tgt, _scale3(motion[j], _dot3(off_tgt, motion[j])))
+            off_lat = _sub3(off_lat, _scale3(bar_w, _dot3(off_lat, bar_w)))
+            lat_n = _norm3(off_lat)
+            off_lat = _scale3(off_lat, jnp.minimum(
+                1.0, _COLLAR_CAP / jnp.maximum(lat_n, 1e-9)))
+            cc = _sub3(_add3(handle_new, off_lat), new_hand)
+            cc = _sub3(cc, _scale3(motion[j], _dot3(cc, motion[j])))
+            cc = _sub3(cc, _scale3(bar_w, _dot3(cc, bar_w)))
+            bar_des = (target[0] - _TCPO[0],
+                       target[1] - _TCPO[1],
+                       target[2] - _TCPO[2] - 0.012)
+            err_bar = _dot3(_sub3(bar_des, new_hand), bar_w)
+            cc = _add3(cc, _scale3(bar_w, err_bar * k_bar))
+            lc = _where3(collar, cc, lc)
             lock = _add3(lock, _scale3(lc, (hooked[j] > 0)))
         new_hand = _add3(new_hand, lock)
         # knob-bar support: the claw parks resting on the rotating

@@ -34,7 +34,7 @@ CEILINGS = {
     "button-press-topdown-v3": (0.034, 0.030, 0.083, 1),
     "button-press-topdown-wall-v3": (0.031, 0.030, 0.083, 1),
     "button-press-v3": (0.030, 0.030, 0.141, 1),
-    "button-press-wall-v3": (0.030, 0.030, 0.226, 1),
+    "button-press-wall-v3": (0.030, 0.030, 0.100, 1),
     "coffee-button-v3": (0.037, 0.030, 0.083, 1),
     "coffee-pull-v3": (0.045, 0.042, 0.083, 1),
     "coffee-push-v3": (0.030, 0.050, 0.083, 1),
@@ -42,7 +42,7 @@ CEILINGS = {
     "disassemble-v3": (0.030, 0.055, 0.083, 1),
     "door-close-v3": (0.032, 0.161, 0.083, 1),
     "door-lock-v3": (0.488, 0.047, 0.109, 1),
-    "door-open-v3": (0.146, 0.044, 0.083, 1),
+    "door-open-v3": (0.105, 0.044, 0.083, 1),
     "door-unlock-v3": (0.188, 0.262, 0.354, 1),
     "drawer-close-v3": (0.049, 0.030, 0.083, 1),
     "drawer-open-v3": (0.073, 0.068, 0.083, 1),
